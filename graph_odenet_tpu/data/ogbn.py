@@ -1,0 +1,75 @@
+"""OGBN-arxiv loader + synthetic twin (the BASELINE config[4] multi-host
+workload).
+
+The real dataset ships as CSVs (``node-feat.csv``/``edge.csv``/
+``node-label.csv`` after ogb extraction); ``load_ogbn_arxiv`` parses that
+layout if present.  ``synthetic_ogbn_arxiv`` generates a deterministic
+power-law citation graph at the same scale (169,343 nodes / 1,166,243
+directed edges / 128-dim features / 40 classes) for environments without
+the download — the scaling benchmark only needs realistic degree skew, not
+real text embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from graph_odenet_tpu.data.planetoid import NodeClassificationData, _finalize
+
+__all__ = ["load_ogbn_arxiv", "synthetic_ogbn_arxiv"]
+
+_N, _E, _F, _C = 169_343, 1_166_243, 128, 40
+
+
+def load_ogbn_arxiv(path: str) -> NodeClassificationData:
+    feats = np.loadtxt(os.path.join(path, "node-feat.csv"), delimiter=",", dtype=np.float32)
+    labels = np.loadtxt(os.path.join(path, "node-label.csv"), delimiter=",", dtype=np.int64)
+    edges = np.loadtxt(os.path.join(path, "edge.csv"), delimiter=",", dtype=np.int64)
+    n = feats.shape[0]
+    tr = range(0, int(0.54 * n))
+    va = range(int(0.54 * n), int(0.7 * n))
+    te = range(int(0.7 * n), n)
+    return _finalize(
+        "ogbn-arxiv", feats, labels.astype(np.int32),
+        edges[:, 0], edges[:, 1], int(labels.max()) + 1, splits=(tr, va, te),
+    )
+
+
+def synthetic_ogbn_arxiv(
+    *, seed: int = 0, scale: float = 1.0, node_multiple: int = 8
+) -> NodeClassificationData:
+    """Power-law citation graph at arxiv scale with class-correlated
+    Gaussian features (compact — no bag-of-words at this size)."""
+    n = int(_N * scale)
+    e = int(_E * scale)
+    c = _C
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+
+    # Zipf-ish receiver popularity (citation hubs) + homophilous rewiring.
+    pop = rng.zipf(1.7, size=e).astype(np.int64) % n
+    src = rng.integers(0, n, size=e)
+    same = rng.random(e) < 0.5
+    # For homophilous edges, retarget the receiver within the sender's class.
+    cls_nodes = [np.nonzero(labels == k)[0] for k in range(c)]
+    tgt = pop.copy()
+    for k in range(c):
+        sel = same & (labels[src] == k)
+        if sel.sum() and len(cls_nodes[k]):
+            tgt[sel] = rng.choice(cls_nodes[k], size=int(sel.sum()))
+    ok = src != tgt
+    src, tgt = src[ok], tgt[ok]
+
+    class_means = rng.standard_normal((c, _F)).astype(np.float32)
+    feats = class_means[labels] + 0.8 * rng.standard_normal((n, _F)).astype(np.float32)
+    feats = np.abs(feats)  # keep row-normalisation (in _finalize) meaningful
+
+    tr = range(0, int(0.54 * n))
+    va = range(int(0.54 * n), int(0.7 * n))
+    te = range(int(0.7 * n), n)
+    d = _finalize(
+        "ogbn-arxiv-synthetic", feats, labels, src, tgt, c, splits=(tr, va, te)
+    )
+    return d

@@ -1,0 +1,124 @@
+"""``odeint`` — the torchdiffeq-compatible entry point (SURVEY.md §2 T1).
+
+``odeint(func, y0, ts, *args, method=..., rtol=..., atol=...)`` integrates
+``dy/dt = func(t, y, *args)`` and returns the solution at every requested
+time (``ys[0] == y0``), like ``torchdiffeq.odeint``.  Differences, all
+deliberate TPU-first choices:
+
+  * ``y0`` may be any pytree; state is ravelled once at this boundary so the
+    solvers see a flat ``f32[D]`` vector (cheap on TPU, simplifies norms and
+    the augmented adjoint state).
+  * the integration is a single XLA program — jit/vmap/pjit compose; no
+    per-step host sync.
+  * explicit ``*args`` (e.g. model params) are threaded through so
+    ``jax.grad`` w.r.t. parameters works with every differentiable method.
+
+Method → differentiability:
+  euler / midpoint / rk4 / rk4_classic   reverse-mode AD through lax.scan
+  dopri5                                 forward only (lax.while_loop);
+                                         use dopri5_scan or odeint_adjoint
+  dopri5_scan                            reverse-mode AD (bounded scan)
+
+``odeint_adjoint`` (SURVEY.md §2 T4) wraps any method with the O(1)-memory
+continuous adjoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from graph_odenet_tpu.ode import adaptive, fixed, tableaus
+
+__all__ = ["odeint", "odeint_adjoint", "SOLVERS"]
+
+SOLVERS = ("euler", "midpoint", "rk4", "rk4_classic", "dopri5", "dopri5_scan")
+
+_FIXED = {
+    "euler": tableaus.EULER,
+    "midpoint": tableaus.MIDPOINT,
+    # torchdiffeq's "rk4" is Kutta's 3/8 rule (rk4_alt_step_func) — match it.
+    "rk4": tableaus.RK4_38,
+    "rk4_classic": tableaus.RK4,
+}
+
+
+def _ravel_problem(func, y0, args):
+    y0_flat, unravel = ravel_pytree(y0)
+
+    def f_flat(t, y_flat):
+        dy = func(t, unravel(y_flat), *args)
+        return ravel_pytree(dy)[0]
+
+    return y0_flat, unravel, f_flat
+
+
+def odeint(
+    func: Callable,
+    y0: Any,
+    ts: jax.Array,
+    *args,
+    method: str = "dopri5",
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    steps_per_interval: int = 1,
+    max_steps: int = 10_000,
+    max_steps_per_interval: int = 64,
+    first_step: float | None = None,
+    return_stats: bool = False,
+):
+    """Integrate ``dy/dt = func(t, y, *args)`` over times ``ts`` (increasing).
+
+    Returns ``ys`` with a leading time axis per leaf of ``y0`` (and a stats
+    dict ``{nfe, ...}`` when ``return_stats=True``).
+    """
+    ts = jnp.asarray(ts)
+    y0_flat, unravel, f_flat = _ravel_problem(func, y0, args)
+    ts = ts.astype(y0_flat.dtype)
+
+    if method in _FIXED:
+        ys_flat, nfe = fixed.odeint_fixed(
+            f_flat, _FIXED[method], y0_flat, ts, steps_per_interval=steps_per_interval
+        )
+        stats = dict(nfe=nfe)
+    elif method == "dopri5":
+        ys_flat, stats = adaptive.odeint_dopri5(
+            f_flat, y0_flat, ts,
+            rtol=rtol, atol=atol, max_steps=max_steps, first_step=first_step,
+        )
+    elif method == "dopri5_scan":
+        ys_flat, stats = adaptive.odeint_dopri5_scan(
+            f_flat, y0_flat, ts,
+            rtol=rtol, atol=atol,
+            max_steps_per_interval=max_steps_per_interval, first_step=first_step,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; choose from {SOLVERS}")
+
+    ys = jax.vmap(unravel)(ys_flat)
+    return (ys, stats) if return_stats else ys
+
+
+def odeint_adjoint(
+    func: Callable,
+    y0: Any,
+    ts: jax.Array,
+    *args,
+    method: str = "dopri5",
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    **options,
+):
+    """``odeint`` with O(1)-memory gradients via the continuous adjoint.
+
+    Reverse pass solves the augmented ODE ``[y, a, ∂L/∂args]`` backwards
+    between requested times — the jittable equivalent of torchdiffeq's
+    ``OdeintAdjointMethod`` (SURVEY.md §3.5).
+    """
+    from graph_odenet_tpu.ode.adjoint import _odeint_adjoint_impl
+
+    opts = dict(method=method, rtol=rtol, atol=atol, **options)
+    return _odeint_adjoint_impl(func, tuple(sorted(opts.items())), y0, ts, *args)

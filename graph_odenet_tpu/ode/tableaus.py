@@ -1,0 +1,150 @@
+"""Butcher tableaus and the generic explicit Runge–Kutta step.
+
+The reference's solver zoo comes from torchdiffeq (SURVEY.md §2 T2/T3):
+fixed-grid euler / midpoint / rk4 (the 3/8 rule, ``rk4_alt_step_func``) and
+adaptive Dormand–Prince 5(4).  The tableau data is public numerical-analysis
+material (Hairer, Nørsett & Wanner; Dormand & Prince 1980).
+
+Everything here is shape-polymorphic over a **ravelled** state vector
+``y: f32[D]`` — the solvers flatten pytrees once at the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Tableau", "EULER", "MIDPOINT", "RK4", "RK4_38", "DOPRI5", "rk_step"]
+
+
+class Tableau(NamedTuple):
+    """Explicit RK tableau.  ``a`` is the strictly-lower-triangular stage
+    matrix padded square; ``b_err`` (error-estimate weights, b − b*) and
+    ``c_mid`` (midpoint dense-output weights) are only set for embedded
+    adaptive methods."""
+
+    a: np.ndarray          # [S, S]
+    b: np.ndarray          # [S]
+    c: np.ndarray          # [S]
+    b_err: np.ndarray | None = None   # [S]
+    c_mid: np.ndarray | None = None   # [S]
+    order: int = 1
+    fsal: bool = False     # last stage == f(t+dt, y1) (reusable as next f0)
+
+
+def _tab(a_rows: Sequence[Sequence[float]], b, c, **kw) -> Tableau:
+    s = len(b)
+    a = np.zeros((s, s), dtype=np.float64)
+    for i, row in enumerate(a_rows):
+        a[i + 1, : len(row)] = row
+    return Tableau(
+        a=a,
+        b=np.asarray(b, dtype=np.float64),
+        c=np.asarray(c, dtype=np.float64),
+        **kw,
+    )
+
+
+EULER = _tab([], b=[1.0], c=[0.0], order=1)
+
+MIDPOINT = _tab([[0.5]], b=[0.0, 1.0], c=[0.0, 0.5], order=2)
+
+# Classic RK4.
+RK4 = _tab(
+    [[0.5], [0.0, 0.5], [0.0, 0.0, 1.0]],
+    b=[1 / 6, 1 / 3, 1 / 3, 1 / 6],
+    c=[0.0, 0.5, 0.5, 1.0],
+    order=4,
+)
+
+# Kutta's 3/8 rule — what torchdiffeq's ``rk4`` method actually runs
+# (``rk4_alt_step_func``), kept for step-for-step reference parity.
+RK4_38 = _tab(
+    [[1 / 3], [-1 / 3, 1.0], [1.0, -1.0, 1.0]],
+    b=[1 / 8, 3 / 8, 3 / 8, 1 / 8],
+    c=[0.0, 1 / 3, 2 / 3, 1.0],
+    order=4,
+)
+
+# Dormand–Prince 5(4), FSAL.  b_err = b − b* (5th-order minus embedded
+# 4th-order weights); c_mid gives the 4th-order-accurate midpoint used to fit
+# the dense-output quartic (same scheme torchdiffeq/jax.experimental.ode use).
+DOPRI5 = _tab(
+    [
+        [1 / 5],
+        [3 / 40, 9 / 40],
+        [44 / 45, -56 / 15, 32 / 9],
+        [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+        [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+        [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+    ],
+    b=[35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0],
+    c=[0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0],
+    b_err=[
+        71 / 57600,
+        0.0,
+        -71 / 16695,
+        71 / 1920,
+        -17253 / 339200,
+        22 / 525,
+        -1 / 40,
+    ],
+    c_mid=[
+        6025192743 / 30085553152 / 2,
+        0.0,
+        51252292925 / 65400821598 / 2,
+        -2691868925 / 45128329728 / 2,
+        187940372067 / 1594534317056 / 2,
+        -1776094331 / 19743644256 / 2,
+        11237099 / 235043384 / 2,
+    ],
+    order=5,
+    fsal=True,
+)
+
+
+def rk_step(
+    func: Callable,
+    tab: Tableau,
+    t0: jax.Array,
+    y0: jax.Array,
+    f0: jax.Array,
+    dt: jax.Array,
+    *,
+    compute_f1: bool = True,
+):
+    """One explicit RK step on ravelled state.
+
+    Stages unroll statically (S ≤ 7) — XLA fuses the stage updates; the MXU
+    work lives inside ``func``.
+
+    Returns ``(y1, f1, y_err, k)`` where ``f1`` is f(t0+dt, y1) — free for
+    FSAL tableaus, one extra eval otherwise (skipped when
+    ``compute_f1=False``); ``y_err`` is the embedded error estimate (None
+    without ``b_err``); ``k: [S, D]`` is the stage stack (dense output).
+    """
+    dtype = y0.dtype
+    a = [jnp.asarray(row, dtype=dtype) for row in tab.a]
+    b = jnp.asarray(tab.b, dtype=dtype)
+    c = tab.c
+    ks = [f0]
+    for i in range(1, len(tab.b)):
+        ti = t0 + jnp.asarray(c[i], dtype=dtype) * dt
+        yi = y0 + dt * sum(a[i][j] * ks[j] for j in range(i) if tab.a[i, j] != 0.0)
+        ks.append(func(ti, yi))
+    k = jnp.stack(ks)
+    y1 = y0 + dt * jnp.tensordot(b, k, axes=1)
+    if tab.fsal:
+        f1 = ks[-1]
+    elif compute_f1:
+        f1 = func(t0 + dt, y1)
+    else:
+        f1 = None
+    y_err = None
+    if tab.b_err is not None:
+        b_err = jnp.asarray(tab.b_err, dtype=dtype)
+        y_err = dt * jnp.tensordot(b_err, k, axes=1)
+    return y1, f1, y_err, k

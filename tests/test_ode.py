@@ -1,0 +1,243 @@
+"""ODE solver unit tests (SURVEY.md §4.1): closed-form problems, convergence
+order, dopri5 controller behaviour, dense output, gradients, composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_odenet_tpu.ode import odeint, odeint_adjoint
+
+# --- closed-form problems (torchdiffeq-style tests/problems.py) -----------
+
+
+def exp_decay(t, y):
+    return -0.5 * y
+
+
+def exp_decay_sol(t, y0):
+    # Reference values in numpy so they stay correctly rounded even if the
+    # suite ever runs on an accelerator with approximate transcendentals.
+    return y0 * np.exp(-0.5 * np.asarray(t))
+
+
+def oscillator(t, y):
+    # y = (q, p): harmonic oscillator, period 2π.
+    return jnp.stack([y[1], -y[0]])
+
+
+def oscillator_sol(t):
+    t = np.asarray(t)
+    return np.stack([np.cos(t), -np.sin(t)])
+
+
+def forced(t, y):
+    # Time-dependent: dy/dt = sin(t); y = 1 − cos(t) from y0=0.
+    return jnp.sin(t) * jnp.ones_like(y)
+
+
+TS = jnp.linspace(0.0, 2.0, 9)
+
+
+@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4", "rk4_classic"])
+def test_fixed_methods_solve_exp_decay(method):
+    y0 = jnp.array([1.0, 2.0])
+    ys = odeint(exp_decay, y0, TS, method=method, steps_per_interval=8)
+    expected = np.stack([exp_decay_sol(t, np.asarray(y0)) for t in np.asarray(TS)])
+    tol = {"euler": 2e-2, "midpoint": 1e-3, "rk4": 1e-6, "rk4_classic": 1e-6}
+    np.testing.assert_allclose(
+        np.asarray(ys), np.asarray(expected), atol=tol[method]
+    )
+
+
+@pytest.mark.parametrize(
+    "method,order", [("euler", 1), ("midpoint", 2), ("rk4", 4), ("rk4_classic", 4)]
+)
+def test_fixed_methods_convergence_order(method, order):
+    y0 = jnp.array([1.0])
+    ts = jnp.array([0.0, 1.0])
+    errs = []
+    for n in (4, 8, 16):
+        ys = odeint(exp_decay, y0, ts, method=method, steps_per_interval=n)
+        errs.append(abs(float(ys[-1, 0]) - float(np.exp(-0.5))))
+    rate01 = np.log2(errs[0] / errs[1])
+    rate12 = np.log2(errs[1] / errs[2])
+    assert rate01 > order - 0.3, (method, errs)
+    assert rate12 > order - 0.3, (method, errs)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "dopri5_scan"])
+def test_adaptive_solves_oscillator_to_tolerance(method):
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 2 * np.pi, 20)
+    ys, stats = odeint(
+        exp_decay if False else oscillator,
+        y0, ts, method=method, rtol=1e-6, atol=1e-8, return_stats=True,
+    )
+    expected = oscillator_sol(np.asarray(ts)).T
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(expected), atol=1e-4)
+    assert int(stats["nfe"]) > 0
+
+
+def test_dopri5_nfe_scales_with_tolerance():
+    """Tighter tolerance ⇒ more function evaluations (controller works)."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 2 * np.pi])
+    nfes = []
+    for rtol in (1e-3, 1e-6, 1e-9):
+        _, stats = odeint(
+            oscillator, y0, ts, method="dopri5", rtol=rtol, atol=rtol * 1e-2,
+            return_stats=True,
+        )
+        nfes.append(int(stats["nfe"]))
+    assert nfes[0] < nfes[1] < nfes[2], nfes
+    # Sanity: a period of the oscillator at 1e-6 should take a few dozen
+    # steps, not thousands (accept/reject machinery not thrashing).
+    assert nfes[1] < 1200, nfes
+
+
+def test_dopri5_dense_output_is_high_order():
+    """Requested times are interpolated, not stepped-to: check mid-interval
+    accuracy on the forced problem with a large-step trajectory."""
+    y0 = jnp.array([0.0])
+    ts = jnp.linspace(0.0, 3.0, 50)  # many outputs, few solver steps
+    ys, stats = odeint(
+        forced, y0, ts, method="dopri5", rtol=1e-8, atol=1e-10,
+        return_stats=True,
+    )
+    expected = 1.0 - np.cos(np.asarray(ts))
+    np.testing.assert_allclose(np.asarray(ys[:, 0]), expected, atol=1e-6)
+    # Dense output means dozens of outputs don't force dozens of extra steps:
+    # nfe must be far less than 6 × (steps needed if each of 49 intervals
+    # took its own adaptive restart).
+    assert int(stats["n_accept"]) < 100
+
+
+def test_time_dependent_dynamics():
+    y0 = jnp.array([0.0])
+    ts = jnp.linspace(0.0, 3.0, 7)
+    for method in ("rk4", "dopri5", "dopri5_scan"):
+        ys = odeint(forced, y0, ts, method=method, rtol=1e-7, atol=1e-9,
+                    steps_per_interval=16)
+        np.testing.assert_allclose(
+            np.asarray(ys[:, 0]), 1.0 - np.cos(np.asarray(ts)), atol=1e-4
+        )
+
+
+def test_pytree_state():
+    y0 = {"a": jnp.ones((2, 3)), "b": jnp.zeros(4)}
+    f = lambda t, y: jax.tree_util.tree_map(lambda x: -x, y)
+    ys = odeint(f, y0, jnp.array([0.0, 1.0]), method="rk4", steps_per_interval=8)
+    np.testing.assert_allclose(
+        np.asarray(ys["a"][-1]), np.exp(-1.0) * np.ones((2, 3)), atol=1e-5
+    )
+    assert ys["b"].shape == (2, 4)
+
+
+def test_args_threading():
+    f = lambda t, y, k: -k * y
+    ys = odeint(f, jnp.array([1.0]), jnp.array([0.0, 1.0]), 2.0,
+                method="rk4", steps_per_interval=16)
+    np.testing.assert_allclose(float(ys[-1, 0]), np.exp(-2.0), atol=1e-5)
+
+
+# --- differentiation ------------------------------------------------------
+
+
+def _terminal_loss(method, **kw):
+    def loss(k):
+        f = lambda t, y, k: -k * y
+        ys = odeint(f, jnp.array([1.0]), jnp.array([0.0, 1.0]), k,
+                    method=method, **kw)
+        return ys[-1, 0]
+
+    return loss
+
+
+@pytest.mark.parametrize(
+    "method,kw",
+    [
+        ("rk4", dict(steps_per_interval=32)),
+        ("dopri5_scan", dict(rtol=1e-8, atol=1e-10)),
+    ],
+)
+def test_grad_through_solver_matches_analytic(method, kw):
+    # d/dk exp(-k) = -exp(-k)
+    g = jax.grad(_terminal_loss(method, **kw))(1.0)
+    np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-4)
+
+
+def test_grad_check_fixed():
+    from jax.test_util import check_grads
+
+    def f(k):
+        return _terminal_loss("rk4", steps_per_interval=16)(k)
+
+    check_grads(f, (0.7,), order=1, modes=["rev"], atol=1e-3, rtol=1e-3)
+
+
+def test_adjoint_grad_matches_analytic():
+    def loss(k):
+        f = lambda t, y, k: -k * y
+        ys = odeint_adjoint(
+            f, jnp.array([1.0]), jnp.array([0.0, 1.0]), k,
+            method="dopri5", rtol=1e-8, atol=1e-10,
+        )
+        return ys[-1, 0]
+
+    g = jax.grad(loss)(1.0)
+    np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-4)
+
+
+def test_adjoint_grad_y0_and_multiple_times():
+    def loss(y0):
+        ys = odeint_adjoint(
+            lambda t, y: -y, y0, jnp.linspace(0.0, 1.0, 5),
+            method="dopri5", rtol=1e-8, atol=1e-10,
+        )
+        return jnp.sum(ys[-1]) + jnp.sum(ys[2])
+
+    y0 = jnp.array([1.0, 2.0])
+    g = jax.grad(loss)(y0)
+    expected = np.exp(-1.0) + np.exp(-0.5)
+    np.testing.assert_allclose(np.asarray(g), expected * np.ones(2), rtol=1e-4)
+
+
+def test_adjoint_matches_direct_backprop():
+    """Adjoint and discretize-then-optimize agree on a nonlinear problem."""
+    w = jnp.array([[0.1, -0.4], [0.7, 0.2]])
+
+    def f(t, y, w):
+        return jnp.tanh(w @ y)
+
+    y0 = jnp.array([0.5, -0.3])
+    ts = jnp.array([0.0, 1.0])
+
+    def loss_direct(w):
+        return jnp.sum(odeint(f, y0, ts, w, method="rk4", steps_per_interval=64)[-1])
+
+    def loss_adj(w):
+        return jnp.sum(
+            odeint_adjoint(f, y0, ts, w, method="dopri5", rtol=1e-9, atol=1e-11)[-1]
+        )
+
+    g1 = jax.grad(loss_direct)(w)
+    g2 = jax.grad(loss_adj)(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+# --- composition ----------------------------------------------------------
+
+
+def test_jit_vmap_compose():
+    @jax.jit
+    def solve(y0):
+        return odeint(oscillator, y0, jnp.array([0.0, 1.0]), method="dopri5",
+                      rtol=1e-6, atol=1e-8)[-1]
+
+    y0s = jnp.stack([jnp.array([1.0, 0.0]), jnp.array([0.0, 1.0])])
+    out = jax.vmap(solve)(y0s)
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), [np.cos(1.0), -np.sin(1.0)], atol=1e-5
+    )

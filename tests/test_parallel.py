@@ -1,0 +1,100 @@
+"""Edge-partitioned SpMM on the emulated 8-device mesh: bitwise-level parity
+with the single-device path (SURVEY.md §4.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_odenet_tpu.graph import from_edges
+from graph_odenet_tpu.ops import spmm
+from graph_odenet_tpu.parallel import (
+    PartitionedGraph,
+    make_mesh,
+    partition_by_receiver,
+    spmm_sharded,
+)
+
+
+def random_graph(rng, n=100, p=0.05):
+    a = rng.random((n, n)) < p
+    s, r = np.nonzero(a)
+    return from_edges(s, r, n_node=n, normalize="row", node_multiple=8)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh(shape=(8,), axis_names=("edge",))
+
+
+def test_partition_preserves_edges():
+    rng = np.random.default_rng(0)
+    g = random_graph(rng)
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    # Reconstruct the real edge set from buckets.
+    sg = np.asarray(pg.senders_global())
+    rr = np.asarray(pg.receivers_rel)
+    w = np.asarray(pg.weight)
+    got = set()
+    for p in range(8):
+        for b in range(8):
+            for e in range(pg.e_bucket):
+                if w[p, b, e] != 0.0:
+                    got.add(
+                        (int(sg[p, b, e]), int(rr[p, b, e] + p * pg.block_size))
+                    )
+    expect = set(
+        zip(
+            np.asarray(g.senders)[: g.n_edge].tolist(),
+            np.asarray(g.receivers)[: g.n_edge].tolist(),
+        )
+    )
+    assert got == expect
+
+
+@pytest.mark.parametrize("mode", ["allgather", "ring"])
+def test_spmm_sharded_matches_single_device(mesh, mode):
+    rng = np.random.default_rng(1)
+    g = random_graph(rng)
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 32)), jnp.float32)
+    expected = spmm(g, x)
+    got = spmm_sharded(pg, x, mesh, mode=mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["allgather", "ring"])
+def test_spmm_sharded_under_jit_with_sharded_input(mesh, mode):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(2)
+    g = random_graph(rng, n=64)
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 16)), jnp.float32)
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("edge", None)))
+    f = jax.jit(lambda x: spmm_sharded(pg, x, mesh, mode=mode))
+    got = f(x_sharded)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(spmm(g, x)), atol=1e-5
+    )
+
+
+def test_spmm_sharded_grad(mesh):
+    """Sharded aggregation stays differentiable end to end."""
+    rng = np.random.default_rng(3)
+    g = random_graph(rng, n=64)
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 8)), jnp.float32)
+
+    def loss_sharded(x):
+        return jnp.sum(jnp.sin(spmm_sharded(pg, x, mesh, mode="allgather")))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(spmm(g, x)))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_sharded)(x)),
+        np.asarray(jax.grad(loss_ref)(x)),
+        atol=1e-5,
+    )
