@@ -79,6 +79,32 @@ def odeint(
     y0_flat, unravel, f_flat = _ravel_problem(func, y0, args)
     ts = ts.astype(y0_flat.dtype)
 
+    # Reverse-time integration (torchdiffeq supports decreasing t; the
+    # adaptive solvers here require an increasing grid): substitute s = −t,
+    # dy/ds = −f(−s, y).  Only decidable for concrete ts — traced decreasing
+    # grids must be pre-transformed by the caller the same way.
+    if ts.shape[0] >= 2 and not isinstance(ts, jax.core.Tracer):
+        import numpy as _np
+
+        ts_host = _np.asarray(ts)
+        if bool(ts_host[1] < ts_host[0]):
+            rev = odeint(
+                lambda s, y: jax.tree_util.tree_map(
+                    jnp.negative, func(-s, y, *args)
+                ),
+                y0,
+                -ts,
+                method=method,
+                rtol=rtol,
+                atol=atol,
+                steps_per_interval=steps_per_interval,
+                max_steps=max_steps,
+                max_steps_per_interval=max_steps_per_interval,
+                first_step=first_step,
+                return_stats=return_stats,
+            )
+            return rev
+
     if method in _FIXED:
         ys_flat, nfe = fixed.odeint_fixed(
             f_flat, _FIXED[method], y0_flat, ts, steps_per_interval=steps_per_interval

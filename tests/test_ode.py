@@ -241,3 +241,12 @@ def test_jit_vmap_compose():
     np.testing.assert_allclose(
         np.asarray(out[0]), [np.cos(1.0), -np.sin(1.0)], atol=1e-5
     )
+
+def test_reverse_time_integration():
+    """Decreasing ts (torchdiffeq-supported) — all methods via −t transform."""
+    y0 = jnp.array([1.0])
+    ts = jnp.array([1.0, 0.0])  # integrate backwards: y(0) = y0·e^{+1}
+    for method in ("rk4", "dopri5", "dopri5_scan"):
+        ys = odeint(lambda t, y: -y, y0, ts, method=method,
+                    steps_per_interval=16, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(float(ys[-1, 0]), np.e, rtol=1e-4)
