@@ -104,6 +104,24 @@ def from_edges(
         weight = np.ones_like(senders, dtype=np.float64)
     weight = np.asarray(weight, dtype=np.float64)
 
+    # Native (C++) preprocessing tier when available — same semantics as the
+    # numpy pipeline below, ~order-of-magnitude faster at OGBN scale.
+    from graph_odenet_tpu import native as _native
+
+    if normalize in (None, "row", "sym"):
+        pre = _native.preprocess_edges(
+            senders, receivers, n_node,
+            weight=weight,
+            symmetrize=symmetrize,
+            add_self_loops=add_self_loops,
+            normalize=normalize,
+        )
+        if pre is not None:
+            senders, receivers, weight = pre
+            return _pack_graph(
+                senders, receivers, weight, n_node, node_multiple, edge_multiple
+            )
+
     if symmetrize:
         senders, receivers = (
             np.concatenate([senders, receivers]),
@@ -140,7 +158,13 @@ def from_edges(
     # CSR order: sort by (receiver, sender) for deterministic tiling.
     order = np.lexsort((senders, receivers))
     senders, receivers, weight = senders[order], receivers[order], weight[order]
+    return _pack_graph(
+        senders, receivers, weight, n_node, node_multiple, edge_multiple
+    )
 
+
+def _pack_graph(senders, receivers, weight, n_node, node_multiple, edge_multiple):
+    """Pad (receiver, sender)-sorted COO arrays into a static-shape Graph."""
     n_edge = senders.shape[0]
     e_pad = _round_up(max(n_edge, 1), edge_multiple)
     n_pad = _round_up(max(n_node, 1), node_multiple)

@@ -13,12 +13,12 @@ adjacency representation:
                            reuses it across every solver step.
 
 Both paths are linear, so autodiff through them is exact; the Pallas path
-carries its own ``custom_vjp`` (SpMMᵀ for dx, SDDMM for dw).
+carries its own ``custom_vjp`` (SpMMᵀ for dx via the CSC view).
 """
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Any, Union
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +27,6 @@ from graph_odenet_tpu.graph import Graph
 from graph_odenet_tpu.ops.segment import gather, segment_sum
 
 __all__ = ["spmm", "spmm_segment"]
-
-# Flipped to True by ops.pallas_spmm.enable() once kernels are registered;
-# keeps the pure-JAX path the default on CPU test meshes.
-_USE_PALLAS = False
 
 
 def spmm_segment(g: Graph, x: jax.Array) -> jax.Array:
@@ -43,18 +39,22 @@ def spmm_segment(g: Graph, x: jax.Array) -> jax.Array:
     return segment_sum(msgs, g.receivers, num_segments=g.n_node_pad)
 
 
-def spmm(adj: Union[Graph, jax.Array], x: jax.Array) -> jax.Array:
+def spmm(adj: Union[Graph, Any, jax.Array], x: jax.Array) -> jax.Array:
     """Aggregate node features over the (normalised) adjacency.
 
     Args:
-      adj: a ``Graph`` (sparse path) or a dense ``[N_pad, N_pad]`` array
-        (row = receiver) as produced by ``graph.to_dense``.
+      adj: the adjacency in one of three representations —
+        * ``Graph``: COO, gather + ``segment_sum`` (portable XLA path);
+        * ``PallasCSR`` (``ops.pallas_spmm.prepare(graph)``): the Pallas
+          MXU segment-reduction kernel, the fast path on real TPUs;
+        * dense ``[N_pad, N_pad]`` array (row = receiver) as produced by
+          ``graph.to_dense``: one MXU matmul.
       x:   ``[N_pad, F]`` node features.
     """
     if isinstance(adj, Graph):
-        if _USE_PALLAS:
-            from graph_odenet_tpu.ops import pallas_spmm
-
-            return pallas_spmm.spmm_pallas(adj, x)
         return spmm_segment(adj, x)
+    if type(adj).__name__ == "PallasCSR":
+        from graph_odenet_tpu.ops import pallas_spmm
+
+        return pallas_spmm.spmm_pallas(adj, x)
     return jnp.dot(adj.astype(x.dtype), x, preferred_element_type=x.dtype)
