@@ -53,7 +53,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from graph_odenet_tpu.ops import spmm
     from graph_odenet_tpu.ops.spmm import spmm_segment
 
     n_nodes = int(os.environ.get("BENCH_NODES", 169_343))
@@ -67,15 +66,22 @@ def main():
         rng.standard_normal((g.n_node_pad, feat)), jnp.float32
     )
 
-    def fwd_bwd(path):
+    def fwd_bwd(path, adj):
         def loss(x):
-            return 0.5 * jnp.sum(path(g, x) ** 2)
+            return 0.5 * jnp.sum(path(adj, x) ** 2)
 
         return jax.jit(jax.grad(loss))
 
-    t_seg = time_fn(fwd_bwd(spmm_segment), x, iters=iters)
-    t_best = time_fn(fwd_bwd(spmm), x, iters=iters)
-    t = min(t_best, t_seg)
+    t_seg = time_fn(fwd_bwd(spmm_segment, g), x, iters=iters)
+    t = t_seg
+    if os.environ.get("BENCH_PALLAS", "1") != "0":
+        try:
+            from graph_odenet_tpu.ops.pallas_spmm import prepare, spmm_pallas
+
+            csr = prepare(g)
+            t = min(t, time_fn(fwd_bwd(spmm_pallas, csr), x, iters=iters))
+        except Exception:
+            pass  # portable fallback: report the segment path
     edges_per_s = g.n_edge / t
     print(
         json.dumps(

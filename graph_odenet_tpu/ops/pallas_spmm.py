@@ -57,6 +57,7 @@ class PallasCSR:
     """
 
     senders: jax.Array        # i32[E_pad]
+    receivers: jax.Array      # i32[E_pad]  (receiver-sorted = Graph order)
     weight: jax.Array         # f32[E_pad]
     rel: jax.Array            # i32[E_pad/128, 128]  receiver − 128·block
     blk_ptr: jax.Array        # i32[NB+1]   edge span of each receiver block
@@ -64,6 +65,7 @@ class PallasCSR:
     t_weight: jax.Array       # f32[E_pad]
     t_rel: jax.Array          # i32[E_pad/128, 128]  sender − 128·block (CSC)
     t_blk_ptr: jax.Array      # i32[NB+1]
+    t_perm: jax.Array         # i32[E_pad]  CSC position → original edge id
     n_node_pad: int = dataclasses.field(metadata=dict(static=True))
     n_edge: int = dataclasses.field(metadata=dict(static=True))
 
@@ -71,9 +73,14 @@ class PallasCSR:
     def n_blocks(self) -> int:
         return self.n_node_pad // BLOCK_ROWS
 
+    # Duck-type the Graph surface that edge-wise ops (ops.sddmm.edge_scores)
+    # use, so a PallasCSR can stand in for a Graph in GAT layers.
+    def edge_mask(self) -> jax.Array:
+        return jnp.arange(self.senders.shape[0]) < self.n_edge
+
 
 def _build_view(dst, src, w, n_pad):
-    """Sort edges by dst, return (src_sorted, w_sorted, rel, blk_ptr)."""
+    """Sort edges by dst, return (src_sorted, w_sorted, rel, blk_ptr, order)."""
     order = np.argsort(dst, kind="stable")
     dst, src, w = dst[order], src[order], w[order]
     rel = (dst - (dst // BLOCK_ROWS) * BLOCK_ROWS).astype(np.int32)
@@ -81,7 +88,7 @@ def _build_view(dst, src, w, n_pad):
     counts = np.bincount(dst // BLOCK_ROWS, minlength=nb)
     blk_ptr = np.zeros(nb + 1, dtype=np.int32)
     np.cumsum(counts, out=blk_ptr[1:])
-    return src.astype(np.int32), w.astype(np.float32), rel, blk_ptr
+    return src.astype(np.int32), w.astype(np.float32), rel, blk_ptr, order
 
 
 def prepare(g: Graph) -> PallasCSR:
@@ -101,13 +108,17 @@ def prepare(g: Graph) -> PallasCSR:
             [a, np.full(e_pad - len(a), fill, dtype=a.dtype)]
         )
 
-    f_src, f_w, f_rel, f_ptr = _build_view(r, s, w, g.n_node_pad)
-    b_src, b_w, b_rel, b_ptr = _build_view(s, r, w, g.n_node_pad)
+    f_src, f_w, f_rel, f_ptr, f_order = _build_view(r, s, w, g.n_node_pad)
+    b_src, b_w, b_rel, b_ptr, b_order = _build_view(s, r, w, g.n_node_pad)
+    # Graph edges are already receiver-sorted, so f_order is the identity and
+    # original edge order == fwd kernel order; b_order maps CSC position →
+    # original edge id (needed to permute per-edge attention data for bwd).
     # rel is stored 2-D [E_pad/128, 128] so chunk DMAs are row slices whose
     # start (a multiple of E_CHUNK/128 = 8 rows) satisfies Mosaic's (8, 128)
     # int32 tiling alignment.
     return PallasCSR(
         senders=jnp.asarray(pad(f_src)),
+        receivers=jnp.asarray(pad(r[f_order].astype(np.int32))),
         weight=jnp.asarray(pad(f_w)),
         rel=jnp.asarray(pad(f_rel).reshape(-1, 128)),
         blk_ptr=jnp.asarray(f_ptr),
@@ -115,6 +126,7 @@ def prepare(g: Graph) -> PallasCSR:
         t_weight=jnp.asarray(pad(b_w)),
         t_rel=jnp.asarray(pad(b_rel).reshape(-1, 128)),
         t_blk_ptr=jnp.asarray(b_ptr),
+        t_perm=jnp.asarray(pad(b_order.astype(np.int32))),
         n_node_pad=g.n_node_pad,
         n_edge=g.n_edge,
     )
@@ -198,11 +210,15 @@ def _segment_reduce_kernel(
             onehot = jnp.where(
                 (rows == rel[sub][None, :]) & valid, 1.0, 0.0
             ).astype(msg_scratch.dtype)
+            # HIGHEST: bf16x3 passes ≈ f32-exact — the one-hot is exactly
+            # representable, so accuracy matches the segment_sum reference;
+            # the kernel is DMA-bound so the extra MXU passes are hidden.
             acc = acc + jax.lax.dot_general(
                 onehot,
                 msg_scratch[slot, pl.ds(sub * 128, 128), :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         return acc
 
@@ -215,6 +231,13 @@ def _segment_reduce(msgs, rel, blk_ptr, n_blocks, *, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Mosaic requires 128-multiple lane widths for VMEM blocks/slices.
+    f_in = msgs.shape[1]
+    if f_in % 128:
+        msgs = jnp.pad(msgs, ((0, 0), (0, 128 - f_in % 128)))
+        return _segment_reduce(
+            msgs, rel, blk_ptr, n_blocks, interpret=interpret
+        )[:, :f_in]
     f = msgs.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

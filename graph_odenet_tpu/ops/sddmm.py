@@ -68,6 +68,16 @@ def attention_aggregate(
 
     Returns ``[N_pad, H, F]`` aggregated features.
     """
+    # PallasCSR adjacency → fused SDDMM-softmax-SpMM kernel (TPU fast path).
+    # Attention dropout falls back to the segment path (the fused kernel has
+    # no per-edge RNG); PallasCSR duck-types the Graph fields it needs.
+    if type(g).__name__ == "PallasCSR" and (
+        edge_dropout_rng is None or edge_dropout_rate == 0.0
+    ):
+        from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas
+
+        return gat_aggregate_pallas(g, logits, values)
+
     mask = g.edge_mask()[:, None]
     alpha = segment_softmax(logits, g.receivers, g.n_node_pad, mask=mask)
     if edge_dropout_rng is not None and edge_dropout_rate > 0.0:
