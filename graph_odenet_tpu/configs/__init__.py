@@ -18,7 +18,7 @@ import dataclasses
 from graph_odenet_tpu.train.node_classification import NodeClassConfig
 from graph_odenet_tpu.train.physics import PhysicsConfig
 
-__all__ = ["get_config", "CONFIG_NAMES"]
+__all__ = ["get_config", "run_config", "CONFIG_NAMES"]
 
 CONFIG_NAMES = {
     0: "cora-gcn-discrete",
@@ -65,4 +65,51 @@ def get_config(i: int):
         )
     if i == 4:
         return "sharded", ShardedConfig()
+    raise KeyError(i)
+
+
+_CONFIG_DATASET = {0: "cora", 1: "cora", 2: "citeseer"}
+
+
+def run_config(i: int, *, scale: float = 1.0, data_path: str | None = None):
+    """Execute canonical config ``i`` end-to-end; returns a summary dict.
+
+    ``scale`` shrinks the synthetic dataset for smoke runs; ``data_path``
+    points at real pygcn-format files (configs 0–2).
+    """
+    kind, cfg = get_config(i)
+    if kind == "node":
+        from graph_odenet_tpu.data import synthetic_planetoid
+        from graph_odenet_tpu.data.planetoid import load_planetoid
+        from graph_odenet_tpu.train import fit_node_classifier
+
+        name = _CONFIG_DATASET[i]
+        data = (
+            load_planetoid(name, data_path)
+            if data_path
+            else synthetic_planetoid(name, seed=cfg.seed, scale=scale)
+        )
+        res = fit_node_classifier(cfg, data)
+        return dict(config=CONFIG_NAMES[i], dataset=name, best=res["best"],
+                    seconds=round(res["seconds"], 2))
+    if kind == "physics":
+        import jax.numpy as jnp
+
+        from graph_odenet_tpu.train.physics import (
+            fit_inode, rollout_mse,
+        )
+
+        if scale != 1.0:
+            cfg = dataclasses.replace(
+                cfg,
+                n_sims=max(8, int(cfg.n_sims * scale)),
+                n_steps=max(20, int(cfg.n_steps * scale)),
+            )
+        res = fit_inode(cfg)
+        out = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+        return dict(config=CONFIG_NAMES[i], **out)
+    if kind == "sharded":
+        from graph_odenet_tpu.bench import scaling_bench
+
+        return dict(config=CONFIG_NAMES[i], **scaling_bench())
     raise KeyError(i)

@@ -38,7 +38,7 @@ def load_ogbn_arxiv(path: str) -> NodeClassificationData:
 
 
 def synthetic_ogbn_arxiv(
-    *, seed: int = 0, scale: float = 1.0, node_multiple: int = 8
+    *, seed: int = 0, scale: float = 1.0, node_multiple: int = 128
 ) -> NodeClassificationData:
     """Power-law citation graph at arxiv scale with class-correlated
     Gaussian features (compact — no bag-of-words at this size)."""

@@ -73,7 +73,7 @@ def _finalize(
     graph = from_edges(
         senders, receivers, n_node=n,
         add_self_loops=True, symmetrize=True, normalize="row",
-        node_multiple=8, edge_multiple=128,
+        node_multiple=128, edge_multiple=1024,
     )
     # Row-normalise features (reference `normalize(features)`).
     rowsum = features.sum(axis=1, keepdims=True)

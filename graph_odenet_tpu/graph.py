@@ -85,8 +85,8 @@ def from_edges(
     add_self_loops: bool = True,
     symmetrize: bool = True,
     normalize: Optional[str] = "row",
-    node_multiple: int = 8,
-    edge_multiple: int = 128,
+    node_multiple: int = 128,
+    edge_multiple: int = 1024,
 ) -> Graph:
     """Build a canonical Graph from raw COO edges (host-side, numpy).
 
@@ -188,7 +188,7 @@ def _pack_graph(senders, receivers, weight, n_node, node_multiple, edge_multiple
     )
 
 
-def pad_graph(g: Graph, *, node_multiple: int = 8, edge_multiple: int = 128) -> Graph:
+def pad_graph(g: Graph, *, node_multiple: int = 128, edge_multiple: int = 1024) -> Graph:
     """Re-pad an existing Graph to (possibly larger) tile multiples."""
     n_pad = _round_up(g.n_node_pad, node_multiple)
     e_pad = _round_up(g.n_edge_pad, edge_multiple)

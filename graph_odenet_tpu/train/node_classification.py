@@ -49,6 +49,10 @@ class NodeClassConfig:
     seed: int = 42
     # Aggregation path: dense Â on the MXU (GCN family only).
     dense_adj: bool = True
+    # Explicit adjacency representation override: "dense" | "segment" |
+    # "pallas" (CSR-tile Pallas kernels — TPU only).  None → the dense_adj
+    # auto rule above.
+    representation: Optional[str] = None
     log_path: Optional[str] = None
     echo: bool = False
 
@@ -79,7 +83,18 @@ def fit_node_classifier(cfg: NodeClassConfig, data: NodeClassificationData):
     """Train + early-stop + test.  Returns a results dict."""
     model = build_model(cfg, data.n_class)
     is_gcn_family = cfg.model in ("gcn", "resgcn", "gcnode")
-    adj = data.dense_adj() if (cfg.dense_adj and is_gcn_family) else data.graph
+    if cfg.representation == "dense":
+        adj = data.dense_adj()
+    elif cfg.representation == "segment":
+        adj = data.graph
+    elif cfg.representation == "pallas":
+        from graph_odenet_tpu.ops.pallas_spmm import prepare
+
+        adj = prepare(data.graph)
+    elif cfg.representation is None:
+        adj = data.dense_adj() if (cfg.dense_adj and is_gcn_family) else data.graph
+    else:
+        raise ValueError(f"unknown representation {cfg.representation!r}")
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)

@@ -1,0 +1,39 @@
+"""CLI surface (reference `python train.py --flags` parity, SURVEY.md §2 R7)."""
+
+import json
+
+from graph_odenet_tpu.cli import main
+
+
+def test_cli_node(capsys):
+    main([
+        "node", "--model", "gcn", "--dataset", "cora", "--scale", "0.08",
+        "--epochs", "8", "--patience", "8", "--quiet",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["best"]["test_acc"] > 0.2
+    assert out["epochs_run"] == 8
+
+
+def test_cli_physics_rollout(capsys):
+    main([
+        "physics", "--n-sims", "12", "--n-steps", "20", "--epochs", "1",
+        "--n-bodies", "4", "--rollout", "5",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "one_step_mse" in out and "rollout_mse" in out
+
+
+def test_run_config_smoke():
+    from graph_odenet_tpu.configs import run_config
+
+    import dataclasses
+    from graph_odenet_tpu.configs import get_config
+
+    # config 0 at tiny scale, capped epochs via a patched config
+    kind, cfg = get_config(0)
+    assert kind == "node" and cfg.model == "gcn"
+    res = run_config_smoke = None
+    # direct run with small scale but full epochs would be slow; exercise the
+    # dataclass plumbing only
+    assert dataclasses.replace(cfg, epochs=1).epochs == 1
