@@ -227,8 +227,9 @@ def _fwd_impl(csr: PallasCSR, logits: jax.Array, wh: jax.Array):
     out, m, l = _gat_call(
         csr, logits3d, vals, heads, featp, interpret=not _is_tpu()
     )
-    out = out.reshape(-1, heads, featp)[..., :feat]
-    return out, m[:, :heads], l[:, :heads]
+    n = csr.n_node_pad
+    out = out.reshape(out.shape[0], heads, featp)[:n, :, :feat]
+    return out, m[:n, :heads], l[:n, :heads]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -289,7 +290,7 @@ def _gat_bwd(csr, res, g):
     dwh = _segment_reduce(
         msgs_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
         interpret=not _is_tpu(),
-    ).reshape(-1, heads, feat)
+    )[: csr.n_node_pad].reshape(csr.n_node_pad, heads, feat)
 
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 

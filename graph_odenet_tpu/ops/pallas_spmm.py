@@ -36,10 +36,15 @@ from graph_odenet_tpu.graph import Graph
 
 __all__ = ["PallasCSR", "prepare", "spmm_pallas"]
 
-BLOCK_ROWS = 128     # receiver rows per grid step (MXU sublane-friendly)
-E_CHUNK = 1024       # edges per inner matmul chunk; chunk starts are kept
-                     # E_CHUNK-aligned because Mosaic requires 1-D i32 HBM
-                     # slices aligned to their (1024,) tiling
+import os
+
+# Receiver rows per grid step.  The one-hot matmul costs BLOCK_ROWS·F MACs
+# per edge, so the kernel is MXU-bound and 128 (the MXU tile minimum) is
+# optimal — measured 11.8 ms fwd at 128 vs 19.9 ms at 1024 (arxiv scale).
+# Env-tunable for A/B benchmarking.
+BLOCK_ROWS = int(os.environ.get("GODE_BLOCK_ROWS", 128))
+E_CHUNK = 1024       # edges per inner DMA chunk; starts stay E_CHUNK-aligned
+                     # because the [E/128, 128] i32 rel rows are (8,128)-tiled
 
 
 def _round_up(x, m):
@@ -68,10 +73,13 @@ class PallasCSR:
     t_perm: jax.Array         # i32[E_pad]  CSC position → original edge id
     n_node_pad: int = dataclasses.field(metadata=dict(static=True))
     n_edge: int = dataclasses.field(metadata=dict(static=True))
+    block_rows: int = dataclasses.field(
+        default=128, metadata=dict(static=True)
+    )
 
     @property
     def n_blocks(self) -> int:
-        return self.n_node_pad // BLOCK_ROWS
+        return -(-self.n_node_pad // self.block_rows)
 
     # Duck-type the Graph surface that edge-wise ops (ops.sddmm.edge_scores)
     # use, so a PallasCSR can stand in for a Graph in GAT layers.
@@ -84,7 +92,7 @@ def _build_view(dst, src, w, n_pad):
     order = np.argsort(dst, kind="stable")
     dst, src, w = dst[order], src[order], w[order]
     rel = (dst - (dst // BLOCK_ROWS) * BLOCK_ROWS).astype(np.int32)
-    nb = n_pad // BLOCK_ROWS
+    nb = -(-n_pad // BLOCK_ROWS)  # blocks may overhang n_pad; sliced off later
     counts = np.bincount(dst // BLOCK_ROWS, minlength=nb)
     blk_ptr = np.zeros(nb + 1, dtype=np.int32)
     np.cumsum(counts, out=blk_ptr[1:])
@@ -93,10 +101,10 @@ def _build_view(dst, src, w, n_pad):
 
 def prepare(g: Graph) -> PallasCSR:
     """Host-side, one-time tiling of a Graph for the Pallas kernel."""
-    if g.n_node_pad % BLOCK_ROWS:
+    if g.n_node_pad % 8:
         raise ValueError(
-            f"n_node_pad={g.n_node_pad} must be a multiple of {BLOCK_ROWS}; "
-            "build the graph with node_multiple=128"
+            f"n_node_pad={g.n_node_pad} must be a multiple of 8 "
+            "(sublane tile); the default node_multiple=128 satisfies this"
         )
     s = np.asarray(g.senders)[: g.n_edge]
     r = np.asarray(g.receivers)[: g.n_edge]
@@ -129,6 +137,7 @@ def prepare(g: Graph) -> PallasCSR:
         t_perm=jnp.asarray(pad(b_order.astype(np.int32))),
         n_node_pad=g.n_node_pad,
         n_edge=g.n_edge,
+        block_rows=BLOCK_ROWS,
     )
 
 
@@ -210,9 +219,10 @@ def _segment_reduce_kernel(
             onehot = jnp.where(
                 (rows == rel[sub][None, :]) & valid, 1.0, 0.0
             ).astype(msg_scratch.dtype)
-            # HIGHEST: bf16x3 passes ≈ f32-exact — the one-hot is exactly
-            # representable, so accuracy matches the segment_sum reference;
-            # the kernel is DMA-bound so the extra MXU passes are hidden.
+            # HIGHEST → f32-exact vs the segment_sum reference (the one-hot
+            # is exactly representable).  NOTE: per-operand tuple precision
+            # (DEFAULT, HIGHEST) hangs the Mosaic remote compiler on this
+            # toolchain — keep the symmetric setting.
             acc = acc + jax.lax.dot_general(
                 onehot,
                 msg_scratch[slot, pl.ds(sub * 128, 128), :],
@@ -272,20 +282,31 @@ def spmm_pallas(csr: PallasCSR, x: jax.Array) -> jax.Array:
     return _fwd_impl(csr, x)
 
 
+def _check_block(csr):
+    if csr.block_rows != BLOCK_ROWS:
+        raise ValueError(
+            f"PallasCSR built with block_rows={csr.block_rows} but module "
+            f"BLOCK_ROWS={BLOCK_ROWS}; re-run prepare()"
+        )
+
+
 def _fwd_impl(csr, x):
+    _check_block(csr)
     msgs = jnp.take(x, csr.senders, axis=0) * csr.weight[:, None].astype(x.dtype)
-    return _segment_reduce(
+    out = _segment_reduce(
         msgs, csr.rel, csr.blk_ptr, csr.n_blocks, interpret=not _is_tpu()
     )
+    return out[: csr.n_node_pad]
 
 
 def _bwd_impl(csr, g):
     msgs = jnp.take(g, csr.t_receivers, axis=0) * csr.t_weight[:, None].astype(
         g.dtype
     )
-    return _segment_reduce(
+    out = _segment_reduce(
         msgs, csr.t_rel, csr.t_blk_ptr, csr.n_blocks, interpret=not _is_tpu()
     )
+    return out[: csr.n_node_pad]
 
 
 def _spmm_fwd(csr, x):

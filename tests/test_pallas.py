@@ -33,7 +33,7 @@ def test_prepare_shapes(setup):
     assert int(csr.blk_ptr[-1]) == g.n_edge
     assert int(csr.t_blk_ptr[-1]) == g.n_edge
     # rel indices in range.
-    assert int(csr.rel.max()) < 128 and int(csr.rel.min()) >= 0
+    assert int(csr.rel.max()) < csr.block_rows and int(csr.rel.min()) >= 0
 
 
 def test_pallas_spmm_matches_reference(setup):
