@@ -34,6 +34,7 @@ from graph_odenet_tpu.ops.pallas_spmm import (
     BLOCK_ROWS,
     E_CHUNK,
     SUBS,
+    _PRECISION,
     PallasCSR,
     _is_tpu,
     _segment_reduce,
@@ -144,7 +145,7 @@ def _gat_kernel(
                     p, v_sub,                                    # [R,Fp]
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_PRECISION,
                 )
         return tuple(accs), tuple(ms), tuple(ls)
 
@@ -283,10 +284,15 @@ def _gat_bwd(csr, res, g):
     dlogits = alpha * (dot - jnp.take(beta, csr.receivers, axis=0))
     dlogits = jnp.where(emask, dlogits, 0.0)[:e_orig]
 
-    # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction, on
-    # the CSC view with per-edge α as the weights (via t_perm reorder).
-    msgs = (alpha[..., None] * gv).reshape(alpha.shape[0], heads * feat)
-    msgs_csc = jnp.take(msgs, csr.t_perm, axis=0)
+    # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
+    # the CSC view.  Build the messages directly in CSC order: permute only
+    # the [E, H] α (t_perm) and gather g rows by t_receivers — avoids
+    # permuting a full [E, H·F] array (the dominant bwd HBM cost).
+    alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)              # [E_pad, H]
+    gv_csc = jnp.take(g, csr.t_receivers, axis=0)                # [E_pad,H,F]
+    msgs_csc = (alpha_csc[..., None] * gv_csc).reshape(
+        alpha.shape[0], heads * feat
+    )
     dwh = _segment_reduce(
         msgs_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
         interpret=not _is_tpu(),

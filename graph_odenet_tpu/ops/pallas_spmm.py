@@ -46,6 +46,16 @@ BLOCK_ROWS = int(os.environ.get("GODE_BLOCK_ROWS", 128))
 E_CHUNK = 1024       # edges per inner DMA chunk; starts stay E_CHUNK-aligned
                      # because the [E/128, 128] i32 rel rows are (8,128)-tiled
 
+# MXU precision for the one-hot reduction matmuls.  "highest" (default) is
+# f32-exact vs the segment reference (bf16x3 passes); "default" uses single
+# bf16 passes — ~3x the matmul throughput at ~1e-3 relative rounding, the
+# idiomatic TPU trade for training runs.  The kernel is MXU-bound, so this
+# is the main speed knob.
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("GODE_PRECISION", "highest").lower()]
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -219,16 +229,14 @@ def _segment_reduce_kernel(
             onehot = jnp.where(
                 (rows == rel[sub][None, :]) & valid, 1.0, 0.0
             ).astype(msg_scratch.dtype)
-            # HIGHEST → f32-exact vs the segment_sum reference (the one-hot
-            # is exactly representable).  NOTE: per-operand tuple precision
-            # (DEFAULT, HIGHEST) hangs the Mosaic remote compiler on this
-            # toolchain — keep the symmetric setting.
+            # NOTE: per-operand tuple precision (DEFAULT, HIGHEST) hangs the
+            # Mosaic remote compiler on this toolchain — keep it symmetric.
             acc = acc + jax.lax.dot_general(
                 onehot,
                 msg_scratch[slot, pl.ds(sub * 128, 128), :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_PRECISION,
             )
         return acc
 

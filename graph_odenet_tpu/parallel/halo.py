@@ -11,8 +11,13 @@ node features sharded by receiver block:
     [me, that block] while the next chunk is in flight — communication
     hidden behind local segment-sums (the scaling-critical path for the
     ≥80% multi-host efficiency target).
+  * ``mode="ring_pallas"`` — same ring, but the local reduction is the
+    Pallas MXU CSR-tile kernel (ops.pallas_spmm._segment_reduce) over the
+    bucket's receiver-sorted tiles: distributed halo exchange + native
+    kernel in one jitted program.  Requires bucket size % E_CHUNK == 0 and
+    block size % 8 == 0 (the partitioner's defaults).
 
-Correctness contract (tested): both modes match the single-device
+Correctness contract (tested): all modes match the single-device
 ``ops.spmm`` to float tolerance, on a CPU-emulated 8-device mesh.
 """
 
@@ -80,23 +85,51 @@ def spmm_sharded(
             )
             return out
 
-    elif mode == "ring":
+    elif mode in ("ring", "ring_pallas"):
+        use_pallas = mode == "ring_pallas"
+        if use_pallas:
+            from graph_odenet_tpu.ops.pallas_spmm import (
+                E_CHUNK, _is_tpu, _segment_reduce,
+            )
 
-        def kernel(senders_rel, receivers_rel, weight, x_shard):
+            if pg.e_bucket % E_CHUNK or B % 8:
+                raise ValueError(
+                    "ring_pallas needs e_bucket % E_CHUNK == 0 and "
+                    f"block_size % 8 == 0; got {pg.e_bucket}, {B} — "
+                    "partition with the default edge_multiple"
+                )
+
+        def kernel(senders_rel, receivers_rel, weight, rel2d, blk_ptr, x_shard):
             me = jax.lax.axis_index(axis)
             perm_src = [((i + 1) % n_parts, i) for i in range(n_parts)]
+
+            def local(src_block, chunk):
+                s_b = jnp.take(senders_rel[0], src_block, axis=0)
+                w_b = jnp.take(weight[0], src_block, axis=0)
+                msgs = jnp.take(chunk, s_b, axis=0) * w_b[:, None].astype(
+                    chunk.dtype
+                )
+                if use_pallas:
+                    return _segment_reduce(
+                        msgs,
+                        jnp.take(rel2d[0], src_block, axis=0),
+                        jnp.take(blk_ptr[0], src_block, axis=0),
+                        blk_ptr.shape[-1] - 1,   # local 128-row tile count
+                        interpret=not _is_tpu(),
+                    )[:B]
+                r_b = jnp.take(receivers_rel[0], src_block, axis=0)
+                return segment_sum(
+                    msgs, r_b, num_segments=B, sorted_ids=False
+                )
 
             def body(k, carry):
                 out, chunk = carry
                 # chunk currently holds block (me + k) mod P's features.
                 src_block = (me + k) % n_parts
-                s_b = jnp.take(senders_rel[0], src_block, axis=0)
-                r_b = jnp.take(receivers_rel[0], src_block, axis=0)
-                w_b = jnp.take(weight[0], src_block, axis=0)
                 # Launch the next hop first so the DMA overlaps the local
-                # segment-sum below (XLA schedules ppermute async).
+                # reduction below (XLA schedules ppermute async).
                 nxt = jax.lax.ppermute(chunk, axis, perm=perm_src)
-                out = out + _local_accumulate(s_b, r_b, w_b, chunk, B)
+                out = out + local(src_block, chunk)
                 return out, nxt
 
             out0 = jnp.zeros((B, x_shard.shape[1]), dtype=x_shard.dtype)
@@ -109,9 +142,22 @@ def spmm_sharded(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
+    if mode == "allgather":
+        return jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(edge_spec, edge_spec, edge_spec, x_spec),
+            out_specs=x_spec,
+        )(pg.senders_rel, pg.receivers_rel, pg.weight, x)
+    tile_spec = P(axis, None, None, None)
+    ptr_spec = P(axis, None, None)
     return jax.shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(edge_spec, edge_spec, edge_spec, x_spec),
+        in_specs=(edge_spec, edge_spec, edge_spec, tile_spec, ptr_spec, x_spec),
         out_specs=x_spec,
-    )(pg.senders_rel, pg.receivers_rel, pg.weight, x)
+        # pallas_call's out ShapeDtypeStruct carries no vma annotation, so
+        # the varying-manual-axes check can't see through it.
+        check_vma=not use_pallas,
+    )(pg.senders_rel, pg.receivers_rel, pg.weight, pg.tile_rel,
+      pg.tile_blk_ptr, x)

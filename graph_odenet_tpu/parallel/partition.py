@@ -44,6 +44,13 @@ class PartitionedGraph:
       receivers_rel: i32[P, P, E_b]  receiver − p·B (local output row)
       weight:        f32[P, P, E_b]  0 on padding slots.
 
+    Buckets are sorted by local receiver, so each also carries the Pallas
+    CSR-tile metadata for the in-shard MXU segment-reduction kernel
+    (``halo.spmm_sharded(mode="ring_pallas")``):
+
+      tile_rel:     i32[P, P, E_b/128, 128]  receiver − tile·BLOCK_ROWS
+      tile_blk_ptr: i32[P, P, NB+1]          edge span per 128-row tile
+
     ``senders_global`` reconstructs global ids on the fly (b·B offset), so
     the all-gather path needs no second copy.
     """
@@ -51,6 +58,8 @@ class PartitionedGraph:
     senders_rel: jax.Array
     receivers_rel: jax.Array
     weight: jax.Array
+    tile_rel: jax.Array
+    tile_blk_ptr: jax.Array
     block_size: int = dataclasses.field(metadata=dict(static=True))
     n_parts: int = dataclasses.field(metadata=dict(static=True))
     n_node_pad: int = dataclasses.field(metadata=dict(static=True))
@@ -67,11 +76,18 @@ class PartitionedGraph:
 
 
 def partition_by_receiver(
-    g: Graph, n_parts: int, *, edge_multiple: int = 128
+    g: Graph, n_parts: int, *, edge_multiple: int = 1024
 ) -> PartitionedGraph:
     """Split a Graph into P receiver-block shards × P sender-block buckets,
     all padded to the globally maximal bucket size (degree skew across
-    blocks costs padding, not correctness — SURVEY.md §7 hard part 2)."""
+    blocks costs padding, not correctness — SURVEY.md §7 hard part 2).
+
+    Buckets are receiver-sorted.  The default ``edge_multiple`` (= Pallas
+    E_CHUNK) keeps buckets tile-aligned for ``mode="ring_pallas"``; smaller
+    multiples are fine for the segment-sum modes.
+    """
+    from graph_odenet_tpu.ops.pallas_spmm import BLOCK_ROWS
+
     if g.n_node_pad % n_parts:
         raise ValueError(
             f"n_node_pad={g.n_node_pad} not divisible by n_parts={n_parts}; "
@@ -88,23 +104,38 @@ def partition_by_receiver(
     for p in range(n_parts):
         for b in range(n_parts):
             sel = (rb == p) & (sb == b)
-            buckets[(p, b)] = (s[sel] - b * B, r[sel] - p * B, w[sel])
+            rp = r[sel] - p * B
+            order = np.argsort(rp, kind="stable")
+            buckets[(p, b)] = (
+                (s[sel] - b * B)[order], rp[order], w[sel][order]
+            )
             e_bucket = max(e_bucket, int(sel.sum()))
     e_bucket = _round_up(e_bucket, edge_multiple)
 
+    nb_local = -(-B // BLOCK_ROWS)
     senders_rel = np.zeros((n_parts, n_parts, e_bucket), dtype=np.int32)
     receivers_rel = np.zeros((n_parts, n_parts, e_bucket), dtype=np.int32)
     weight = np.zeros((n_parts, n_parts, e_bucket), dtype=np.float32)
+    blk_ptr = np.zeros((n_parts, n_parts, nb_local + 1), dtype=np.int32)
     for (p, b), (sp, rp, wp) in buckets.items():
         L = len(sp)
         senders_rel[p, b, :L] = sp
         receivers_rel[p, b, :L] = rp
         weight[p, b, :L] = wp
+        counts = np.bincount(rp // BLOCK_ROWS, minlength=nb_local)
+        np.cumsum(counts, out=blk_ptr[p, b, 1:])
+    tile_rel = (receivers_rel % BLOCK_ROWS).astype(np.int32)
+    if e_bucket % 128 == 0:
+        tile_rel = tile_rel.reshape(n_parts, n_parts, e_bucket // 128, 128)
+    else:  # tiny-test buckets; Pallas mode will reject these anyway
+        tile_rel = tile_rel.reshape(n_parts, n_parts, 1, e_bucket)
 
     return PartitionedGraph(
         senders_rel=jnp.asarray(senders_rel),
         receivers_rel=jnp.asarray(receivers_rel),
         weight=jnp.asarray(weight),
+        tile_rel=jnp.asarray(tile_rel),
+        tile_blk_ptr=jnp.asarray(blk_ptr),
         block_size=B,
         n_parts=n_parts,
         n_node_pad=g.n_node_pad,

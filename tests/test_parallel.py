@@ -98,3 +98,27 @@ def test_spmm_sharded_grad(mesh):
         np.asarray(jax.grad(loss_ref)(x)),
         atol=1e-5,
     )
+
+
+def test_spmm_sharded_ring_pallas_matches_single_device(mesh):
+    """Ring halo exchange with the in-shard Pallas tile kernel (interpret
+    mode on the CPU mesh) vs the single-device segment path."""
+    rng = np.random.default_rng(3)
+    # node_multiple=128*8 so each shard block is 128 rows (tile-aligned).
+    a = rng.random((600, 600)) < 0.02
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=600, normalize="row", node_multiple=128 * 8)
+    pg = partition_by_receiver(g, 8)  # default edge_multiple = E_CHUNK
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 16)), jnp.float32)
+    expected = np.asarray(spmm(g, x))
+    got = np.asarray(spmm_sharded(pg, x, mesh, mode="ring_pallas"))
+    np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+
+def test_ring_pallas_rejects_misaligned_buckets(mesh):
+    rng = np.random.default_rng(4)
+    g = random_graph(rng)
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 4)), jnp.float32)
+    with pytest.raises(ValueError, match="ring_pallas"):
+        spmm_sharded(pg, x, mesh, mode="ring_pallas")
