@@ -48,22 +48,25 @@ _NEG = -1e30  # python float: jnp scalars would be captured consts in-kernel
 def _gat_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
-    vals_hbm,           # f32 ANY/HBM [H, E_pad, Fp]
+    vals_hbm,           # f32 ANY/HBM [HV, E_pad, Fp]  (HV=1 when packed)
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
-    out_ref,            # VMEM [BLOCK_ROWS, H*Fp]
+    out_ref,            # VMEM [BLOCK_ROWS, HV*... = packed? 128 : H*Fp]
     m_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     l_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     logit_scratch,      # VMEM [2, H, SUBS, 128]
-    val_scratch,        # VMEM [2, H, E_CHUNK, Fp]
+    val_scratch,        # VMEM [2, HV, E_CHUNK, Fp]
     rel_scratch,        # VMEM [2, SUBS, 128]
-    sems,               # DMA sems [2, 2H+1]
+    sems,               # DMA sems [2, H + HV + 1]
     *,
     heads: int,
-    feat: int,          # Fp (lane-padded per-head feature width)
+    feat: int,          # Fp (lane-padded per-head width; 128 when packed)
+    true_feat: int,     # logical per-head F (lane stride in packed mode)
+    packed: bool,       # all heads share one 128-lane value plane
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    n_val = 1 if packed else heads
     b = pl.program_id(0)
     p0 = blk_ptr_ref[b]
     p1 = blk_ptr_ref[b + 1]
@@ -88,14 +91,15 @@ def _gat_kernel(
                 pltpu.make_async_copy(
                     logits_hbm.at[h, pl.ds(start // 128, SUBS), :],
                     logit_scratch.at[slot, h],
-                    sems.at[slot, 1 + 2 * h],
+                    sems.at[slot, 1 + h],
                 )
             )
+        for v in range(n_val):
             copies.append(
                 pltpu.make_async_copy(
-                    vals_hbm.at[h, pl.ds(start, E_CHUNK), :],
-                    val_scratch.at[slot, h],
-                    sems.at[slot, 2 + 2 * h],
+                    vals_hbm.at[v, pl.ds(start, E_CHUNK), :],
+                    val_scratch.at[slot, v],
+                    sems.at[slot, 1 + heads + v],
                 )
             )
         return copies
@@ -106,6 +110,17 @@ def _gat_kernel(
             c.start()
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def head_stats(mask, le, m_h, l_h):
+        """One head's online-softmax update; returns (p, scale, m', l')."""
+        le_m = jnp.where(mask, le, _NEG)                     # [R, 128]
+        m_c = jnp.max(le_m, axis=1, keepdims=True)           # [R, 1]
+        m_n = jnp.maximum(m_h, m_c)
+        scale = jnp.exp(m_h - m_n)                           # [R, 1]
+        p = jnp.where(mask, jnp.exp(le - m_n), 0.0)          # [R, 128]
+        l_n = l_h * scale + jnp.sum(p, axis=1, keepdims=True)
+        return p, scale, m_n, l_n
 
     def body(k, carry):
         accs, ms, ls = carry
@@ -124,52 +139,82 @@ def _gat_kernel(
         rel_all = rel_scratch[slot]          # [SUBS, 128]
         accs, ms, ls = list(accs), list(ms), list(ls)
         for sub in range(SUBS):
-            e_idx = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                + dma_start(k) + sub * 128
-            )
+            e_idx = lane + dma_start(k) + sub * 128
             valid = (e_idx >= p0) & (e_idx < p1)                 # [1, 128]
             mask = (rows == rel_all[sub][None, :]) & valid       # [R, 128]
-            for h in range(heads):
-                le_all = logit_scratch[slot, h]                  # [SUBS, 128]
-                le = le_all[sub][None, :]                        # [1, 128]
-                le_m = jnp.where(mask, le, _NEG)                 # [R, 128]
-                m_c = jnp.max(le_m, axis=1, keepdims=True)       # [R, 1]
-                m_n = jnp.maximum(ms[h], m_c)
-                scale = jnp.exp(ms[h] - m_n)                     # [R, 1]
-                ms[h] = m_n
-                p = jnp.where(mask, jnp.exp(le - m_n), 0.0)      # [R, 128]
-                ls[h] = ls[h] * scale + jnp.sum(p, axis=1, keepdims=True)
-                v_sub = val_scratch[slot, h, pl.ds(sub * 128, 128), :]
-                accs[h] = accs[h] * scale + jax.lax.dot_general(
-                    p, v_sub,                                    # [R,Fp]
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_PRECISION,
-                )
+            if packed:
+                v_sub = val_scratch[slot, 0, pl.ds(sub * 128, 128), :]
+                acc_scale = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+                pv_sum = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+                for h in range(heads):
+                    le = logit_scratch[slot, h][sub][None, :]
+                    p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
+                    headmask = (
+                        (lane >= h * true_feat) & (lane < (h + 1) * true_feat)
+                    ).astype(jnp.float32)                        # [1, 128]
+                    pv = jax.lax.dot_general(
+                        p, v_sub,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_PRECISION,
+                    )                                            # [R, 128]
+                    acc_scale = acc_scale + scale * headmask
+                    pv_sum = pv_sum + pv * headmask
+                accs[0] = accs[0] * acc_scale + pv_sum
+            else:
+                for h in range(heads):
+                    le = logit_scratch[slot, h][sub][None, :]
+                    p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
+                    v_sub = val_scratch[slot, h, pl.ds(sub * 128, 128), :]
+                    accs[h] = accs[h] * scale + jax.lax.dot_general(
+                        p, v_sub,                                # [R, Fp]
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_PRECISION,
+                    )
         return tuple(accs), tuple(ms), tuple(ls)
 
     init = (
-        tuple(jnp.zeros((BLOCK_ROWS, feat), jnp.float32) for _ in range(heads)),
+        tuple(
+            jnp.zeros((BLOCK_ROWS, 128 if packed else feat), jnp.float32)
+            for _ in range(n_val)
+        ),
         tuple(jnp.full((BLOCK_ROWS, 1), _NEG, jnp.float32) for _ in range(heads)),
         tuple(jnp.zeros((BLOCK_ROWS, 1), jnp.float32) for _ in range(heads)),
     )
     accs, ms, ls = jax.lax.fori_loop(jnp.int32(0), n_chunks, body, init)
     denoms = [jnp.maximum(l, 1e-30) for l in ls]
-    out_ref[:] = jnp.concatenate(
-        [a / d for a, d in zip(accs, denoms)], axis=1
-    )
+    if packed:
+        # Per-lane denominator: head h's value lanes divide by denom_h;
+        # dead lanes (≥ H·F) divide by 1 (their acc is 0 anyway).
+        denom_full = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+        covered = jnp.zeros((1, 128), jnp.float32)
+        for h in range(heads):
+            headmask = (
+                (lane >= h * true_feat) & (lane < (h + 1) * true_feat)
+            ).astype(jnp.float32)
+            denom_full = denom_full + denoms[h] * headmask
+            covered = covered + headmask
+        out_ref[:] = accs[0] / (denom_full + (1.0 - covered))
+    else:
+        out_ref[:] = jnp.concatenate(
+            [a / d for a, d in zip(accs, denoms)], axis=1
+        )
     pad = [jnp.zeros((BLOCK_ROWS, 1), jnp.float32)] * (128 - heads)
     m_ref[:] = jnp.concatenate(list(ms) + pad, axis=1)
     l_ref[:] = jnp.concatenate(list(denoms) + pad, axis=1)
 
 
-def _gat_call(csr: PallasCSR, logits3d, vals3d, heads, featp, *, interpret):
+def _gat_call(
+    csr: PallasCSR, logits3d, vals3d, heads, featp, true_feat, packed,
+    *, interpret,
+):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb = csr.n_blocks
-    hf = heads * featp
+    n_val = 1 if packed else heads
+    hf = 128 if packed else heads * featp
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -191,13 +236,16 @@ def _gat_call(csr: PallasCSR, logits3d, vals3d, heads, featp, *, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
-            pltpu.VMEM((2, heads, E_CHUNK, featp), jnp.float32),
+            pltpu.VMEM((2, n_val, E_CHUNK, featp), jnp.float32),
             pltpu.VMEM((2, SUBS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2 * heads + 1)),
+            pltpu.SemaphoreType.DMA((2, heads + n_val + 1)),
         ],
     )
     return pl.pallas_call(
-        partial(_gat_kernel, heads=heads, feat=featp),
+        partial(
+            _gat_kernel, heads=heads, feat=featp, true_feat=true_feat,
+            packed=packed,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((nb * BLOCK_ROWS, hf), jnp.float32),
             jax.ShapeDtypeStruct((nb * BLOCK_ROWS, 128), jnp.float32),
@@ -214,22 +262,34 @@ def _fwd_impl(csr: PallasCSR, logits: jax.Array, wh: jax.Array):
     e_pad = csr.senders.shape[0]  # prepare() pads edges to E_CHUNK multiples
     heads = logits.shape[1]
     feat = wh.shape[-1]
-    featp = max(128, -(-feat // 128) * 128)  # lane-pad per-head features
+    packed = heads * feat <= 128  # all heads share one 128-lane value plane
     logits3d = (
         jnp.pad(
             logits.astype(jnp.float32), ((0, e_pad - logits.shape[0]), (0, 0))
         )
         .T.reshape(heads, e_pad // 128, 128)
     )
-    vals = jnp.pad(
-        jnp.take(wh.astype(jnp.float32), csr.senders, axis=0),
-        ((0, 0), (0, 0), (0, featp - feat)),
-    ).transpose(1, 0, 2)                                       # [H, E_pad, Fp]
+    gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
+    if packed:
+        featp = 128
+        vals = jnp.pad(
+            gathered.reshape(e_pad, heads * feat),
+            ((0, 0), (0, 128 - heads * feat)),
+        )[None]                                               # [1, E_pad, 128]
+    else:
+        featp = -(-feat // 128) * 128  # lane-pad per-head features
+        vals = jnp.pad(
+            gathered, ((0, 0), (0, 0), (0, featp - feat))
+        ).transpose(1, 0, 2)                                  # [H, E_pad, Fp]
     out, m, l = _gat_call(
-        csr, logits3d, vals, heads, featp, interpret=not _is_tpu()
+        csr, logits3d, vals, heads, featp, feat, packed,
+        interpret=not _is_tpu(),
     )
     n = csr.n_node_pad
-    out = out.reshape(out.shape[0], heads, featp)[:n, :, :feat]
+    if packed:
+        out = out[:n, : heads * feat].reshape(n, heads, feat)
+    else:
+        out = out.reshape(out.shape[0], heads, featp)[:n, :, :feat]
     return out, m[:n, :heads], l[:n, :heads]
 
 

@@ -27,7 +27,11 @@ def make_case(seed=0, n=300, p=0.03, heads=4, feat=16):
     return g, csr, logits, wh
 
 
-@pytest.mark.parametrize("heads,feat", [(4, 16), (1, 128), (8, 8)])
+@pytest.mark.parametrize(
+    "heads,feat",
+    [(4, 16), (1, 128), (8, 8),     # packed (H·F ≤ 128)
+     (2, 96), (2, 128)],            # per-head planes (H·F > 128)
+)
 def test_fused_gat_matches_reference(heads, feat):
     g, csr, logits, wh = make_case(heads=heads, feat=feat)
     ref = np.asarray(attention_aggregate(g, logits, wh))
