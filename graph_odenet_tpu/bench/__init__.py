@@ -21,7 +21,9 @@ import time
 
 import numpy as np
 
-__all__ = ["spmm_bench", "ode_bench", "scaling_bench", "powerlaw_graph"]
+__all__ = [
+    "spmm_bench", "gat_bench", "ode_bench", "scaling_bench", "powerlaw_graph",
+]
 
 
 def powerlaw_graph(n_nodes, n_edges, seed=0, **kw):
@@ -82,6 +84,60 @@ def spmm_bench(n_nodes=169_343, n_edges=1_166_243, feat=128, iters=20):
             speedup=t_seg / t_pal,
         )
     except Exception as e:  # pallas unavailable on this backend
+        rec["pallas_error"] = repr(e)
+    rec["edges_per_s"] = max(
+        rec["segment_edges_per_s"], rec.get("pallas_edges_per_s", 0.0)
+    )
+    return rec
+
+
+def gat_bench(
+    n_nodes=169_343, n_edges=1_166_243, heads=1, feat=128, iters=20,
+    mode="fwd_bwd",
+):
+    """edges/s/chip for the GAT attention sandwich (SDDMM→softmax→SpMM),
+    segment path vs fused Pallas kernels (fwd + fused α/dlogit backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_odenet_tpu.ops.sddmm import attention_aggregate
+
+    g = powerlaw_graph(n_nodes, n_edges, normalize=None)
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(
+        rng.standard_normal((g.n_edge_pad, heads)), jnp.float32
+    )
+    wh = jnp.asarray(
+        rng.standard_normal((g.n_node_pad, heads, feat)), jnp.float32
+    )
+
+    def make(adj):
+        if mode == "fwd":
+            return jax.jit(lambda lg, w: attention_aggregate(adj, lg, w))
+        return jax.jit(
+            jax.grad(
+                lambda lg, w: 0.5 * jnp.sum(
+                    attention_aggregate(adj, lg, w) ** 2
+                ),
+                argnums=(0, 1),
+            )
+        )
+
+    t_seg = _time(make(g), logits, wh, iters=iters)
+    rec = dict(
+        n_edge=g.n_edge, heads=heads, feat=feat, mode=mode,
+        segment_edges_per_s=g.n_edge / t_seg, segment_ms=t_seg * 1e3,
+    )
+    try:
+        from graph_odenet_tpu.ops.pallas_spmm import prepare
+
+        csr = prepare(g)
+        t_pal = _time(make(csr), logits, wh, iters=iters)
+        rec.update(
+            pallas_edges_per_s=g.n_edge / t_pal, pallas_ms=t_pal * 1e3,
+            speedup=t_seg / t_pal,
+        )
+    except Exception as e:
         rec["pallas_error"] = repr(e)
     rec["edges_per_s"] = max(
         rec["segment_edges_per_s"], rec.get("pallas_edges_per_s", 0.0)

@@ -15,16 +15,28 @@ receiver-block CSR tiling as ``pallas_spmm``:
     one-hot against the value chunk — no scatter anywhere.
 
 The kernel also emits the per-receiver ``m``/``l`` statistics so the
-backward can reconstruct α with gathers only (no segment_max/scatter):
+backward can reconstruct α without segment_max/scatter:
 
     α     = exp(logit − m[recv]) / l[recv]
     β[r]  = Σ_f g[r]·out[r]                  (the softmax Jacobian term)
     dlogit= α · (⟨g[recv], v⟩ − β[recv])
     dWh   = Âᵀ-style segment reduction of α·g[recv]   (pallas_spmm kernel)
+
+The default backward (``GODE_GAT_BWD=fused``) computes α and dlogit in a
+SECOND Pallas pass over the same receiver-block tiling: the block's
+``g``/``m``/``l``/``β`` rows sit in VMEM, each 128-edge sub-chunk's
+``g[recv]`` rows come from one one-hot MXU matmul (replacing the [E, H·F]
+XLA gather that dominated the XLA backward), and all per-edge quantities
+stay in row layout (lane = edge) so no transposes are needed.  Chunk windows
+of adjacent receiver blocks can overlap by one E_CHUNK; the TPU grid is
+sequential, so each block resolves the overlap with a select-merge
+read-modify-write of its first chunk's output tile.  ``GODE_GAT_BWD=xla``
+selects the gather-based fallback.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -313,12 +325,325 @@ def gat_aggregate_pallas(
     return out
 
 
+def _gat_bwd_kernel(
+    blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
+    vals_t_hbm,         # f32 ANY/HBM [HV, Fp, E_pad]  feature-major v=Wh[send]
+    rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    g_blk,              # VMEM [BLOCK_ROWS, hf]   upstream cotangent rows
+    mlb_blk,            # VMEM [BLOCK_ROWS, 128]  lanes [m_h | l_h | beta_h]
+    dl_hbm,             # out ANY [H, E_pad/128, 128]  dlogits (row layout)
+    al_hbm,             # out ANY [H, E_pad/128, 128]  alpha   (row layout)
+    logit_scr,          # VMEM [2, H, SUBS, 128]
+    valt_scr,           # VMEM [2, HV, Fp, E_CHUNK]
+    rel_scr,            # VMEM [2, SUBS, 128]
+    dl_scr,             # VMEM [2, H, SUBS, 128]
+    al_scr,             # VMEM [2, H, SUBS, 128]
+    old_dl,             # VMEM [H, SUBS, 128]   predecessor's first-chunk tile
+    old_al,             # VMEM [H, SUBS, 128]
+    in_sems,            # DMA sems [2, 1 + H + HV]
+    out_sems,           # DMA sems [2]
+    old_sems,           # DMA sems [2]
+    *,
+    heads: int,
+    featp: int,         # per-plane lane width (128 when packed)
+    true_feat: int,     # logical per-head F
+    packed: bool,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_val = 1 if packed else heads
+    b = pl.program_id(0)
+    p0 = blk_ptr_ref[b]
+    p1 = blk_ptr_ref[b + 1]
+    chunk = jnp.int32(E_CHUNK)
+    base = (p0 // chunk) * chunk
+    n_chunks = pl.cdiv(p1 - base, chunk)
+
+    def issue(k, slot):
+        start = base + k * chunk
+        copies = [
+            pltpu.make_async_copy(
+                rel_hbm.at[pl.ds(start // 128, SUBS), :],
+                rel_scr.at[slot],
+                in_sems.at[slot, 0],
+            )
+        ]
+        for h in range(heads):
+            copies.append(
+                pltpu.make_async_copy(
+                    logits_hbm.at[h, pl.ds(start // 128, SUBS), :],
+                    logit_scr.at[slot, h],
+                    in_sems.at[slot, 1 + h],
+                )
+            )
+        for v in range(n_val):
+            copies.append(
+                pltpu.make_async_copy(
+                    vals_t_hbm.at[v, :, pl.ds(start, E_CHUNK)],
+                    valt_scr.at[slot, v],
+                    in_sems.at[slot, 1 + heads + v],
+                )
+            )
+        return copies
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for c in issue(0, 0):
+            c.start()
+        # Predecessors already wrote (and waited on) the overlapping tile.
+        pltpu.make_async_copy(
+            dl_hbm.at[:, pl.ds(base // 128, SUBS), :], old_dl, old_sems.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            al_hbm.at[:, pl.ds(base // 128, SUBS), :], old_al, old_sems.at[1]
+        ).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    hf = n_val * (128 if packed else featp)
+    # head_sel[f, h] = 1 where value lane f belongs to head h (static).
+    fsel = jax.lax.broadcasted_iota(jnp.int32, (hf, heads), 0)
+    hsel = jax.lax.broadcasted_iota(jnp.int32, (hf, heads), 1)
+    stride = true_feat if packed else featp
+    head_sel = ((fsel // stride) == hsel).astype(jnp.float32)
+
+    def body(k, _):
+        k = jnp.int32(k)
+        slot = jax.lax.rem(k, jnp.int32(2))
+        nxt = jax.lax.rem(k + 1, jnp.int32(2))
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            for c in issue(k + 1, nxt):
+                c.start()
+
+        for c in issue(k, slot):
+            c.wait()
+
+        rel_all = rel_scr[slot]                           # [SUBS, 128]
+        for sub in range(SUBS):
+            start_e = base + k * chunk + sub * 128
+            e_idx = lane + start_e
+            valid = (e_idx >= p0) & (e_idx < p1)          # [1, 128]
+            onehot = (
+                (rows == rel_all[sub][None, :]) & valid
+            ).astype(jnp.float32)                         # [R, 128e]
+            # Row-layout stats/g rows for this sub's 128 edges — the one-hot
+            # contraction over R replaces three XLA gathers.
+            mlb_rows = jax.lax.dot_general(
+                mlb_blk[:], onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )                                             # [128mlb, 128e]
+            g_t = jax.lax.dot_general(
+                g_blk[:], onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )                                             # [hf, 128e]
+            if packed:
+                v_t = valt_scr[slot, 0, :, pl.ds(sub * 128, 128)]
+            else:
+                v_t = jnp.concatenate(
+                    [
+                        valt_scr[slot, v, :, pl.ds(sub * 128, 128)]
+                        for v in range(n_val)
+                    ],
+                    axis=0,
+                )                                         # [hf, 128e]
+            dots = jax.lax.dot_general(
+                head_sel, g_t * v_t,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )                                             # [H, 128e]
+            for h in range(heads):
+                le = logit_scr[slot, h][sub][None, :]     # [1, 128e]
+                m_r = mlb_rows[h][None, :]
+                l_r = mlb_rows[heads + h][None, :]
+                be = mlb_rows[2 * heads + h][None, :]
+                # l is pre-clamped ≥ 1e-30 on real rows; invalid lanes are
+                # masked before any inf can meet a 0.
+                alpha = jnp.where(valid, jnp.exp(le - m_r) / l_r, 0.0)
+                al_scr[slot, h, pl.ds(sub, 1), :] = alpha
+                dl_scr[slot, h, pl.ds(sub, 1), :] = (
+                    alpha * (dots[h][None, :] - be)
+                )
+
+        # First chunk may overlap the predecessor block's range: keep its
+        # rows for edges < p0 (ours are zero there), overwrite the rest.
+        @pl.when(k == 0)
+        def _():
+            pltpu.make_async_copy(
+                dl_hbm.at[:, pl.ds(base // 128, SUBS), :], old_dl,
+                old_sems.at[0],
+            ).wait()
+            pltpu.make_async_copy(
+                al_hbm.at[:, pl.ds(base // 128, SUBS), :], old_al,
+                old_sems.at[1],
+            ).wait()
+            srow = jax.lax.broadcasted_iota(jnp.int32, (SUBS, 128), 0)
+            slane = jax.lax.broadcasted_iota(jnp.int32, (SUBS, 128), 1)
+            keep_old = (base + srow * 128 + slane < p0)[None]  # [1,SUBS,128]
+            dl_scr[slot] = jnp.where(keep_old, old_dl[:], dl_scr[slot])
+            al_scr[slot] = jnp.where(keep_old, old_al[:], al_scr[slot])
+
+        start = base + k * chunk
+        wdl = pltpu.make_async_copy(
+            dl_scr.at[slot], dl_hbm.at[:, pl.ds(start // 128, SUBS), :],
+            out_sems.at[0],
+        )
+        wal = pltpu.make_async_copy(
+            al_scr.at[slot], al_hbm.at[:, pl.ds(start // 128, SUBS), :],
+            out_sems.at[1],
+        )
+        wdl.start()
+        wal.start()
+        # Wait before the next chunk reuses this slot's scratch (and so the
+        # successor block's overlap read observes our write).
+        wdl.wait()
+        wal.wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), n_chunks, body, 0)
+
+
+def _gat_bwd_call(
+    csr: PallasCSR, logits3d, vals_t, g_blk, mlb_blk, heads, featp, true_feat,
+    packed, *, interpret,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = csr.n_blocks
+    n_val = 1 if packed else heads
+    hf = g_blk.shape[1]
+    e_rows = csr.senders.shape[0] // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (BLOCK_ROWS, hf), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, 128), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
+            pltpu.VMEM((2, n_val, 128 if packed else featp, E_CHUNK),
+                       jnp.float32),
+            pltpu.VMEM((2, SUBS, 128), jnp.int32),
+            pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
+            pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
+            pltpu.VMEM((heads, SUBS, 128), jnp.float32),
+            pltpu.VMEM((heads, SUBS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1 + heads + n_val)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(
+            _gat_bwd_kernel, heads=heads, featp=featp, true_feat=true_feat,
+            packed=packed,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((heads, e_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((heads, e_rows, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(csr.blk_ptr, logits3d, vals_t, csr.rel, g_blk, mlb_blk)
+
+
+def _bwd_fused(csr, res, g):
+    """Fused α/dlogit backward — one Pallas pass, then the CSC reduction."""
+    logits, wh, out, m, l = res
+    e_orig = logits.shape[0]
+    e_pad = csr.senders.shape[0]
+    heads, feat = wh.shape[-2], wh.shape[-1]
+    packed = heads * feat <= 128
+    featp = 128 if packed else -(-feat // 128) * 128
+    n = csr.n_node_pad
+    nb_rows = csr.n_blocks * BLOCK_ROWS
+    g = g.astype(jnp.float32)
+
+    logits3d = (
+        jnp.pad(
+            logits.astype(jnp.float32), ((0, e_pad - e_orig), (0, 0))
+        )
+        .T.reshape(heads, e_pad // 128, 128)
+    )
+    # Recompute the sender gather (same op the XLA path pays) but store it
+    # feature-major so the kernel's per-chunk value DMA lands lane=edge.
+    gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
+    if packed:
+        vals_t = jnp.pad(
+            gathered.reshape(e_pad, heads * feat),
+            ((0, 0), (0, 128 - heads * feat)),
+        ).T[None]                                        # [1, 128, E_pad]
+    else:
+        vals_t = jnp.pad(
+            gathered, ((0, 0), (0, 0), (0, featp - feat))
+        ).transpose(1, 2, 0)                             # [H, Fp, E_pad]
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, nb_rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+    if packed:
+        g_blk = pad_rows(
+            jnp.pad(g.reshape(n, heads * feat), ((0, 0), (0, 128 - heads * feat)))
+        )
+    else:
+        g_blk = pad_rows(
+            jnp.pad(g, ((0, 0), (0, 0), (0, featp - feat))).reshape(
+                n, heads * featp
+            )
+        )
+    beta = jnp.sum(g * out.astype(jnp.float32), axis=-1)         # [N_pad, H]
+    mlb_blk = pad_rows(
+        jnp.concatenate(
+            [m, l, beta, jnp.zeros((n, 128 - 3 * heads), jnp.float32)], axis=1
+        )
+    )
+
+    dl3, al3 = _gat_bwd_call(
+        csr, logits3d, vals_t, g_blk, mlb_blk, heads, featp, feat, packed,
+        interpret=not _is_tpu(),
+    )
+    dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
+    alpha = al3.reshape(heads, e_pad).T                           # [E_pad, H]
+
+    # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — Âᵀ reduction on the CSC view.
+    alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)
+    gv_csc = jnp.take(g, csr.t_receivers, axis=0)
+    msgs_csc = (alpha_csc[..., None] * gv_csc).reshape(e_pad, heads * feat)
+    dwh = _segment_reduce(
+        msgs_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
+        interpret=not _is_tpu(),
+    )[:n].reshape(n, heads, feat)
+    return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
+
+
 def _gat_fwd(csr, logits, wh):
     out, m, l = _fwd_impl(csr, logits, wh)
     return out, (logits, wh, out, m, l)
 
 
-def _gat_bwd(csr, res, g):
+def _bwd_xla(csr, res, g):
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
     heads, feat = wh.shape[-2], wh.shape[-1]
@@ -359,6 +684,16 @@ def _gat_bwd(csr, res, g):
     )[: csr.n_node_pad].reshape(csr.n_node_pad, heads, feat)
 
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
+
+
+def _gat_bwd(csr, res, g):
+    heads = res[1].shape[-2]
+    use_fused = (
+        os.environ.get("GODE_GAT_BWD", "fused").lower() != "xla"
+        # mlb packing needs [m|l|beta] to fit one 128-lane block.
+        and 3 * heads <= 128
+    )
+    return (_bwd_fused if use_fused else _bwd_xla)(csr, res, g)
 
 
 gat_aggregate_pallas.defvjp(_gat_fwd, _gat_bwd)

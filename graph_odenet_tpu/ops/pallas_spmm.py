@@ -56,6 +56,13 @@ _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
 }[os.environ.get("GODE_PRECISION", "highest").lower()]
 
+# One K=E_CHUNK matmul per chunk instead of SUBS unrolled K=128 matmuls —
+# identical math (both accumulate masked one-hot reductions in f32).
+# Measured slightly SLOWER on v5e (64.1 vs 66.1 M edges/s fwd+bwd at arxiv
+# scale): the [SUBS,128]→[1,E_CHUNK] rel relayout outweighs the win from
+# fewer accumulate flushes.  Kept as an A/B knob; default off.
+_WIDE = os.environ.get("GODE_SPMM_WIDE", "0") == "1"
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -218,8 +225,30 @@ def _segment_reduce_kernel(
 
         rel = rel_scratch[slot]                        # [SUBS, 128] registers
         rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
-        # 8 unrolled (128×128)@(128×F) MXU matmuls — identical FLOPs to one
-        # (128×E_CHUNK) matmul, but every operand slice stays tile-aligned.
+        if _WIDE:
+            # One (128×E_CHUNK)@(E_CHUNK×F) MXU matmul per chunk: K=1024
+            # amortises result-accumulation flushes vs 8 small matmuls.
+            rows_w = jax.lax.broadcasted_iota(
+                jnp.int32, (BLOCK_ROWS, E_CHUNK), 0
+            )
+            e_idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, E_CHUNK), 1)
+                + dma_start(k)
+            )
+            valid = (e_idx >= p0) & (e_idx < p1)               # [1, E_CHUNK]
+            rel_w = rel.reshape(1, E_CHUNK)
+            onehot = jnp.where(
+                (rows_w == rel_w) & valid, 1.0, 0.0
+            ).astype(msg_scratch.dtype)
+            return acc + jax.lax.dot_general(
+                onehot,
+                msg_scratch[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )
+        # 8 unrolled (128×128)@(128×F) MXU matmuls — identical FLOPs, every
+        # operand slice tile-aligned.
         for sub in range(SUBS):
             e_idx = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)

@@ -135,7 +135,7 @@ def spmm_sharded(
             out0 = jnp.zeros((B, x_shard.shape[1]), dtype=x_shard.dtype)
             # The accumulator must carry the same varying-manual-axes type
             # as the per-device data it sums (shard_map vma typing).
-            out0 = jax.lax.pvary(out0, (axis,))
+            out0 = jax.lax.pcast(out0, (axis,), to="varying")
             out, _ = jax.lax.fori_loop(0, n_parts, body, (out0, x_shard))
             return out
 

@@ -58,6 +58,74 @@ def test_fused_gat_grads_match_reference():
         )
 
 
+@pytest.mark.parametrize(
+    "heads,feat",
+    [(4, 16), (1, 128), (8, 8),     # packed (H·F ≤ 128)
+     (2, 96), (2, 128)],            # per-head planes (H·F > 128)
+)
+def test_fused_bwd_matches_reference(heads, feat):
+    """The fused Pallas backward (α/dlogit kernel) across layouts."""
+    g, csr, logits, wh = make_case(seed=1, heads=heads, feat=feat)
+
+    def loss_p(lg, w):
+        return jnp.sum(jnp.cos(gat_aggregate_pallas(csr, lg, w)))
+
+    def loss_r(lg, w):
+        return jnp.sum(jnp.cos(attention_aggregate(g, lg, w)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(logits, wh)
+    gr = jax.grad(loss_r, argnums=(0, 1))(logits, wh)
+    for a, b, name in [(gp[0], gr[0], "dlogits"), (gp[1], gr[1], "dwh")]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4, err_msg=name
+        )
+
+
+def test_fused_bwd_matches_xla_bwd(monkeypatch):
+    """Both custom backward paths agree bit-tightly on the same inputs."""
+    from graph_odenet_tpu.ops import pallas_gat
+
+    _, csr, logits, wh = make_case(seed=2, heads=2, feat=16)
+    out, res = pallas_gat._gat_fwd(csr, logits, wh)
+    g = jnp.asarray(
+        np.random.default_rng(5).standard_normal(out.shape), jnp.float32
+    )
+    dl_f, dwh_f = pallas_gat._bwd_fused(csr, res, g)
+    dl_x, dwh_x = pallas_gat._bwd_xla(csr, res, g)
+    np.testing.assert_allclose(np.asarray(dl_f), np.asarray(dl_x),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwh_f), np.asarray(dwh_x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_bwd_hub_receiver():
+    """Hub node spans many E_CHUNKs: exercises the first-chunk overlap merge
+    (select-RMW) and multi-chunk α reconstruction in the bwd kernel."""
+    rng = np.random.default_rng(7)
+    n = 200
+    s = np.concatenate([rng.integers(0, n, 2500), rng.integers(0, n, 400)])
+    r = np.concatenate([np.full(2500, 150, np.int64), rng.integers(0, n, 400)])
+    g = from_edges(s, r, n_node=n, normalize=None, node_multiple=128)
+    csr = prepare(g)
+    logits = jnp.asarray(
+        rng.standard_normal((g.n_edge_pad, 2)) * 2.0, jnp.float32
+    )
+    wh = jnp.asarray(rng.standard_normal((g.n_node_pad, 2, 16)), jnp.float32)
+
+    def loss_p(lg, w):
+        return jnp.sum(jnp.sin(gat_aggregate_pallas(csr, lg, w)))
+
+    def loss_r(lg, w):
+        return jnp.sum(jnp.sin(attention_aggregate(g, lg, w)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(logits, wh)
+    gr = jax.grad(loss_r, argnums=(0, 1))(logits, wh)
+    for a, b, name in [(gp[0], gr[0], "dlogits"), (gp[1], gr[1], "dwh")]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
 def test_fused_gat_hub_receiver():
     """Degree ≫ E_CHUNK receiver exercises multi-chunk online softmax."""
     rng = np.random.default_rng(3)
