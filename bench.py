@@ -19,6 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Near-f32 kernel tier for the headline number: exact one-hot × hi/lo-split
+# bf16 messages, ~1e-6 relative vs the f32-exact "highest" tier at ~1.2x the
+# throughput (see ops/pallas_spmm.py).  Override with GODE_PRECISION=highest.
+os.environ.setdefault("GODE_PRECISION", "bf16x2")
+
 import numpy as np
 
 

@@ -46,11 +46,20 @@ from graph_odenet_tpu.ops.pallas_spmm import (
     BLOCK_ROWS,
     E_CHUNK,
     SUBS,
-    _PRECISION,
+    _MODE,
     PallasCSR,
     _is_tpu,
     _segment_reduce,
 )
+
+# The GAT kernels multiply two inexact operands (probabilities × values), so
+# the spmm "bf16x2" split (which relies on an exact one-hot operand) maps to
+# HIGHEST here rather than silently degrading to single-pass bf16.
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "bf16x2": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}[_MODE]
 
 __all__ = ["gat_aggregate_pallas"]
 

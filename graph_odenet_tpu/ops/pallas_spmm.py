@@ -46,15 +46,21 @@ BLOCK_ROWS = int(os.environ.get("GODE_BLOCK_ROWS", 128))
 E_CHUNK = 1024       # edges per inner DMA chunk; starts stay E_CHUNK-aligned
                      # because the [E/128, 128] i32 rel rows are (8,128)-tiled
 
-# MXU precision for the one-hot reduction matmuls.  "highest" (default) is
-# f32-exact vs the segment reference (bf16x3 passes); "default" uses single
-# bf16 passes — ~3x the matmul throughput at ~1e-3 relative rounding, the
-# idiomatic TPU trade for training runs.  The kernel is MXU-bound, so this
-# is the main speed knob.
+# MXU precision for the one-hot reduction matmuls — the main speed knob
+# (the kernel is MXU-pass-bound):
+#   "highest" (default): f32-exact vs the segment reference (6 bf16 passes).
+#   "bf16x2":  the one-hot is exact in bf16, so splitting the messages into
+#              hi/lo bf16 halves and summing two single-pass matmuls in the
+#              f32 accumulator keeps ~16 mantissa bits (~1e-6 relative) at
+#              1/3 the MXU passes of "highest".
+#   "default": single bf16 pass — ~1e-3 relative rounding, idiomatic for
+#              bf16 training runs.
+_MODE = os.environ.get("GODE_PRECISION", "highest").lower()
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
+    "bf16x2": jax.lax.Precision.DEFAULT,
     "default": jax.lax.Precision.DEFAULT,
-}[os.environ.get("GODE_PRECISION", "highest").lower()]
+}[_MODE]
 
 # One K=E_CHUNK matmul per chunk instead of SUBS unrolled K=128 matmuls —
 # identical math (both accumulate masked one-hot reductions in f32).
@@ -225,27 +231,44 @@ def _segment_reduce_kernel(
 
         rel = rel_scratch[slot]                        # [SUBS, 128] registers
         rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+        dn = (((1,), (0,)), ((), ()))
+
+        def reduce_dot(mask, m):
+            """One-hot segment reduction matmul at the selected precision."""
+            if _MODE == "bf16x2" and m.dtype == jnp.float32:
+                oh = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
+                hi = m.astype(jnp.bfloat16)
+                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return jax.lax.dot_general(
+                    oh, hi, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    oh, lo, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                )
+            oh = jnp.where(mask, 1.0, 0.0).astype(m.dtype)
+            # NOTE: per-operand tuple precision (DEFAULT, HIGHEST) hangs the
+            # Mosaic remote compiler on this toolchain — keep it symmetric.
+            return jax.lax.dot_general(
+                oh, m, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=_PRECISION,
+            )
+
         if _WIDE:
-            # One (128×E_CHUNK)@(E_CHUNK×F) MXU matmul per chunk: K=1024
-            # amortises result-accumulation flushes vs 8 small matmuls.
-            rows_w = jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_ROWS, E_CHUNK), 0
-            )
-            e_idx = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, E_CHUNK), 1)
-                + dma_start(k)
-            )
-            valid = (e_idx >= p0) & (e_idx < p1)               # [1, E_CHUNK]
-            rel_w = rel.reshape(1, E_CHUNK)
-            onehot = jnp.where(
-                (rows_w == rel_w) & valid, 1.0, 0.0
-            ).astype(msg_scratch.dtype)
-            return acc + jax.lax.dot_general(
-                onehot,
-                msg_scratch[slot],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
+            # One (128×E_CHUNK)@(E_CHUNK×F) MXU matmul per chunk: K=E_CHUNK
+            # replaces SUBS small ops (small-matmul issue overhead dominates
+            # the unrolled path).  The wide one-hot is built by concatenating
+            # the per-sub masks along lanes — no sublane→lane relayout.
+            masks = []
+            for sub in range(SUBS):
+                e_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    + dma_start(k) + sub * 128
+                )
+                valid = (e_idx >= p0) & (e_idx < p1)           # [1, 128]
+                masks.append((rows == rel[sub][None, :]) & valid)
+            return acc + reduce_dot(
+                jnp.concatenate(masks, axis=1), msg_scratch[slot]
             )
         # 8 unrolled (128×128)@(128×F) MXU matmuls — identical FLOPs, every
         # operand slice tile-aligned.
@@ -255,17 +278,9 @@ def _segment_reduce_kernel(
                 + dma_start(k) + sub * 128
             )
             valid = (e_idx >= p0) & (e_idx < p1)               # [1, 128]
-            onehot = jnp.where(
-                (rows == rel[sub][None, :]) & valid, 1.0, 0.0
-            ).astype(msg_scratch.dtype)
-            # NOTE: per-operand tuple precision (DEFAULT, HIGHEST) hangs the
-            # Mosaic remote compiler on this toolchain — keep it symmetric.
-            acc = acc + jax.lax.dot_general(
-                onehot,
+            acc = acc + reduce_dot(
+                (rows == rel[sub][None, :]) & valid,
                 msg_scratch[slot, pl.ds(sub * 128, 128), :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
             )
         return acc
 
