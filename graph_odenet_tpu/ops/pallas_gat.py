@@ -52,14 +52,55 @@ from graph_odenet_tpu.ops.pallas_spmm import (
     _segment_reduce,
 )
 
-# The GAT kernels multiply two inexact operands (probabilities × values), so
-# the spmm "bf16x2" split (which relies on an exact one-hot operand) maps to
-# HIGHEST here rather than silently degrading to single-pass bf16.
+# Precision tiers (GODE_PRECISION, shared with pallas_spmm):
+#   highest — f32-exact 6-pass MXU matmuls.
+#   bf16x2  — hi/lo bf16 split: 3 passes when both operands are inexact
+#             (probabilities × values; the ~2^-32 lo·lo term is dropped),
+#             2 passes when one operand is an exact 0/1 mask.  ~1e-5 rel.
+#   default — single bf16 pass, ~1e-3 rel.
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
-    "bf16x2": jax.lax.Precision.HIGHEST,
+    "bf16x2": jax.lax.Precision.HIGHEST,   # used only where no split applies
     "default": jax.lax.Precision.DEFAULT,
 }[_MODE]
+
+
+def _hilo(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dg(a, b, dn):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+
+
+def _att_dot(a, b, dn):
+    """Matmul of two inexact f32 operands at the selected tier."""
+    if _MODE == "bf16x2":
+        ah, al = _hilo(a)
+        bh, bl = _hilo(b)
+        return _dg(ah, bh, dn) + _dg(ah, bl, dn) + _dg(al, bh, dn)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
+
+
+def _mask_dot(exact, other, dn, *, exact_lhs=True):
+    """Matmul where ``exact`` is a 0/1 mask (exactly representable in bf16)."""
+    if _MODE == "bf16x2":
+        e16 = exact.astype(jnp.bfloat16)
+        oh, ol = _hilo(other)
+        if exact_lhs:
+            return _dg(e16, oh, dn) + _dg(e16, ol, dn)
+        return _dg(oh, e16, dn) + _dg(ol, e16, dn)
+    a, b = (exact, other) if exact_lhs else (other, exact)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
 
 __all__ = ["gat_aggregate_pallas"]
 
@@ -173,11 +214,8 @@ def _gat_kernel(
                     headmask = (
                         (lane >= h * true_feat) & (lane < (h + 1) * true_feat)
                     ).astype(jnp.float32)                        # [1, 128]
-                    pv = jax.lax.dot_general(
-                        p, v_sub,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_PRECISION,
+                    pv = _att_dot(
+                        p, v_sub, (((1,), (0,)), ((), ()))
                     )                                            # [R, 128]
                     acc_scale = acc_scale + scale * headmask
                     pv_sum = pv_sum + pv * headmask
@@ -187,11 +225,8 @@ def _gat_kernel(
                     le = logit_scratch[slot, h][sub][None, :]
                     p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
                     v_sub = val_scratch[slot, h, pl.ds(sub * 128, 128), :]
-                    accs[h] = accs[h] * scale + jax.lax.dot_general(
-                        p, v_sub,                                # [R, Fp]
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_PRECISION,
+                    accs[h] = accs[h] * scale + _att_dot(
+                        p, v_sub, (((1,), (0,)), ((), ()))       # [R, Fp]
                     )
         return tuple(accs), tuple(ms), tuple(ls)
 
@@ -441,17 +476,12 @@ def _gat_bwd_kernel(
             ).astype(jnp.float32)                         # [R, 128e]
             # Row-layout stats/g rows for this sub's 128 edges — the one-hot
             # contraction over R replaces three XLA gathers.
-            mlb_rows = jax.lax.dot_general(
-                mlb_blk[:], onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
+            dn0 = (((0,), (0,)), ((), ()))
+            mlb_rows = _mask_dot(
+                onehot, mlb_blk[:], dn0, exact_lhs=False
             )                                             # [128mlb, 128e]
-            g_t = jax.lax.dot_general(
-                g_blk[:], onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
+            g_t = _mask_dot(
+                onehot, g_blk[:], dn0, exact_lhs=False
             )                                             # [hf, 128e]
             if packed:
                 v_t = valt_scr[slot, 0, :, pl.ds(sub * 128, 128)]
@@ -463,11 +493,8 @@ def _gat_bwd_kernel(
                     ],
                     axis=0,
                 )                                         # [hf, 128e]
-            dots = jax.lax.dot_general(
-                head_sel, g_t * v_t,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
+            dots = _mask_dot(
+                head_sel, g_t * v_t, dn0, exact_lhs=True
             )                                             # [H, 128e]
             for h in range(heads):
                 le = logit_scr[slot, h][sub][None, :]     # [1, 128e]

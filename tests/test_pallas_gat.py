@@ -81,10 +81,13 @@ def test_fused_bwd_matches_reference(heads, feat):
         )
 
 
-def test_fused_bwd_matches_xla_bwd(monkeypatch):
-    """Both custom backward paths agree bit-tightly on the same inputs."""
+def test_fused_bwd_matches_xla_bwd():
+    """Both custom backward paths agree on the same inputs (bit-tight at
+    the f32-exact tier; to the split-bf16 rounding bound otherwise)."""
     from graph_odenet_tpu.ops import pallas_gat
+    from graph_odenet_tpu.ops.pallas_spmm import _MODE
 
+    tol = 1e-5 if _MODE == "highest" else 5e-4
     _, csr, logits, wh = make_case(seed=2, heads=2, feat=16)
     out, res = pallas_gat._gat_fwd(csr, logits, wh)
     g = jnp.asarray(
@@ -93,9 +96,9 @@ def test_fused_bwd_matches_xla_bwd(monkeypatch):
     dl_f, dwh_f = pallas_gat._bwd_fused(csr, res, g)
     dl_x, dwh_x = pallas_gat._bwd_xla(csr, res, g)
     np.testing.assert_allclose(np.asarray(dl_f), np.asarray(dl_x),
-                               atol=1e-5, rtol=1e-5)
+                               atol=tol, rtol=tol)
     np.testing.assert_allclose(np.asarray(dwh_f), np.asarray(dwh_x),
-                               atol=1e-5, rtol=1e-5)
+                               atol=tol, rtol=tol)
 
 
 def test_fused_bwd_hub_receiver():
