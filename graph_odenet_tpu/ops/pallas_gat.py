@@ -102,7 +102,7 @@ def _mask_dot(exact, other, dn, *, exact_lhs=True):
         precision=_PRECISION,
     )
 
-__all__ = ["gat_aggregate_pallas"]
+__all__ = ["gat_aggregate_pallas", "gat_aggregate_pallas_dropout"]
 
 _NEG = -1e30  # python float: jnp scalars would be captured consts in-kernel
 
@@ -112,18 +112,22 @@ def _gat_kernel(
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
     vals_hbm,           # f32 ANY/HBM [HV, E_pad, Fp]  (HV=1 when packed)
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
+                        #   (dummy [H, 1, 128] when use_dmask=False)
     out_ref,            # VMEM [BLOCK_ROWS, HV*... = packed? 128 : H*Fp]
     m_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     l_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     logit_scratch,      # VMEM [2, H, SUBS, 128]
     val_scratch,        # VMEM [2, HV, E_CHUNK, Fp]
     rel_scratch,        # VMEM [2, SUBS, 128]
-    sems,               # DMA sems [2, H + HV + 1]
+    dmask_scratch,      # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
+    sems,               # DMA sems [2, 1 + H + HV (+ H)]
     *,
     heads: int,
     feat: int,          # Fp (lane-padded per-head width; 128 when packed)
     true_feat: int,     # logical per-head F (lane stride in packed mode)
     packed: bool,       # all heads share one 128-lane value plane
+    use_dmask: bool,    # post-softmax attention dropout scales streamed in
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -164,6 +168,15 @@ def _gat_kernel(
                     sems.at[slot, 1 + heads + v],
                 )
             )
+        if use_dmask:
+            for h in range(heads):
+                copies.append(
+                    pltpu.make_async_copy(
+                        dmask_hbm.at[h, pl.ds(start // 128, SUBS), :],
+                        dmask_scratch.at[slot, h],
+                        sems.at[slot, 1 + heads + n_val + h],
+                    )
+                )
         return copies
 
     @pl.when(n_chunks > 0)
@@ -211,6 +224,10 @@ def _gat_kernel(
                 for h in range(heads):
                     le = logit_scratch[slot, h][sub][None, :]
                     p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
+                    if use_dmask:
+                        # Dropout scales α numerators only; the softmax
+                        # denominator (l) keeps every edge (GAT convention).
+                        p = p * dmask_scratch[slot, h][sub][None, :]
                     headmask = (
                         (lane >= h * true_feat) & (lane < (h + 1) * true_feat)
                     ).astype(jnp.float32)                        # [1, 128]
@@ -224,6 +241,8 @@ def _gat_kernel(
                 for h in range(heads):
                     le = logit_scratch[slot, h][sub][None, :]
                     p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
+                    if use_dmask:
+                        p = p * dmask_scratch[slot, h][sub][None, :]
                     v_sub = val_scratch[slot, h, pl.ds(sub * 128, 128), :]
                     accs[h] = accs[h] * scale + _att_dot(
                         p, v_sub, (((1,), (0,)), ((), ()))       # [R, Fp]
@@ -261,9 +280,18 @@ def _gat_kernel(
     l_ref[:] = jnp.concatenate(list(denoms) + pad, axis=1)
 
 
+def _to3d(a2d, e_pad):
+    """[E, H] edge-major → [H, E_pad/128, 128] row-major DMA layout."""
+    h = a2d.shape[1]
+    return (
+        jnp.pad(a2d.astype(jnp.float32), ((0, e_pad - a2d.shape[0]), (0, 0)))
+        .T.reshape(h, e_pad // 128, 128)
+    )
+
+
 def _gat_call(
-    csr: PallasCSR, logits3d, vals3d, heads, featp, true_feat, packed,
-    *, interpret,
+    csr: PallasCSR, logits3d, vals3d, dmask3d, heads, featp, true_feat,
+    packed, *, interpret,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -271,10 +299,14 @@ def _gat_call(
     nb = csr.n_blocks
     n_val = 1 if packed else heads
     hf = 128 if packed else heads * featp
+    use_dmask = dmask3d is not None
+    if not use_dmask:
+        dmask3d = jnp.zeros((heads, 1, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -294,13 +326,19 @@ def _gat_call(
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
             pltpu.VMEM((2, n_val, E_CHUNK, featp), jnp.float32),
             pltpu.VMEM((2, SUBS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, heads + n_val + 1)),
+            pltpu.VMEM(
+                (2, heads, SUBS, 128) if use_dmask else (2, 1, 1, 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA(
+                (2, 1 + heads + n_val + (heads if use_dmask else 0))
+            ),
         ],
     )
     return pl.pallas_call(
         partial(
             _gat_kernel, heads=heads, feat=featp, true_feat=true_feat,
-            packed=packed,
+            packed=packed, use_dmask=use_dmask,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nb * BLOCK_ROWS, hf), jnp.float32),
@@ -309,22 +347,20 @@ def _gat_call(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(csr.blk_ptr, logits3d, vals3d, csr.rel)
+    )(csr.blk_ptr, logits3d, vals3d, csr.rel, dmask3d)
 
 
-def _fwd_impl(csr: PallasCSR, logits: jax.Array, wh: jax.Array):
+def _fwd_impl(
+    csr: PallasCSR, logits: jax.Array, wh: jax.Array, dmask=None
+):
     """logits: [E, H] (Graph edge order, any 128-multiple ≥ n_edge);
-    wh: [N_pad, H, F]."""
+    wh: [N_pad, H, F]; dmask: optional [E, H] post-softmax α scale."""
     e_pad = csr.senders.shape[0]  # prepare() pads edges to E_CHUNK multiples
     heads = logits.shape[1]
     feat = wh.shape[-1]
     packed = heads * feat <= 128  # all heads share one 128-lane value plane
-    logits3d = (
-        jnp.pad(
-            logits.astype(jnp.float32), ((0, e_pad - logits.shape[0]), (0, 0))
-        )
-        .T.reshape(heads, e_pad // 128, 128)
-    )
+    logits3d = _to3d(logits, e_pad)
+    dmask3d = None if dmask is None else _to3d(dmask, e_pad)
     gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
     if packed:
         featp = 128
@@ -338,7 +374,7 @@ def _fwd_impl(csr: PallasCSR, logits: jax.Array, wh: jax.Array):
             gathered, ((0, 0), (0, 0), (0, featp - feat))
         ).transpose(1, 0, 2)                                  # [H, E_pad, Fp]
     out, m, l = _gat_call(
-        csr, logits3d, vals, heads, featp, feat, packed,
+        csr, logits3d, vals, dmask3d, heads, featp, feat, packed,
         interpret=not _is_tpu(),
     )
     n = csr.n_node_pad
@@ -355,8 +391,8 @@ def gat_aggregate_pallas(
 ) -> jax.Array:
     """Fused masked-softmax attention aggregation over incoming edges.
 
-    Equivalent to ``ops.sddmm.attention_aggregate(g, logits, wh)`` (minus
-    attention dropout, which the trainers only use on the segment path).
+    Equivalent to ``ops.sddmm.attention_aggregate(g, logits, wh)`` without
+    attention dropout; ``gat_aggregate_pallas_dropout`` adds it.
 
     Args:
       csr:    prepared ``PallasCSR`` tiling of the graph.
@@ -369,23 +405,41 @@ def gat_aggregate_pallas(
     return out
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gat_aggregate_pallas_dropout(
+    csr: PallasCSR, logits: jax.Array, wh: jax.Array, dmask: jax.Array
+) -> jax.Array:
+    """Fused attention aggregation with post-softmax attention dropout.
+
+    ``dmask``: ``[E, H]`` per-edge/head α scale — the GAT convention is
+    ``keep / (1 - rate)`` with ``keep ~ Bernoulli(1 - rate)``; the softmax
+    denominator keeps every edge.  The mask is generated by the caller
+    (XLA-side RNG) so the same mask flows through forward and backward and
+    tests can inject known masks.  ``dmask`` gets a zero cotangent.
+    """
+    out, _, _ = _fwd_impl(csr, logits, wh, dmask)
+    return out
+
+
 def _gat_bwd_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
     vals_t_hbm,         # f32 ANY/HBM [HV, Fp, E_pad]  feature-major v=Wh[send]
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
     g_blk,              # VMEM [BLOCK_ROWS, hf]   upstream cotangent rows
     mlb_blk,            # VMEM [BLOCK_ROWS, 128]  lanes [m_h | l_h | beta_h]
     dl_hbm,             # out ANY [H, E_pad/128, 128]  dlogits (row layout)
-    al_hbm,             # out ANY [H, E_pad/128, 128]  alpha   (row layout)
+    al_hbm,             # out ANY [H, E_pad/128, 128]  α·D     (row layout)
     logit_scr,          # VMEM [2, H, SUBS, 128]
     valt_scr,           # VMEM [2, HV, Fp, E_CHUNK]
     rel_scr,            # VMEM [2, SUBS, 128]
+    dmask_scr,          # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
     dl_scr,             # VMEM [2, H, SUBS, 128]
     al_scr,             # VMEM [2, H, SUBS, 128]
     old_dl,             # VMEM [H, SUBS, 128]   predecessor's first-chunk tile
     old_al,             # VMEM [H, SUBS, 128]
-    in_sems,            # DMA sems [2, 1 + H + HV]
+    in_sems,            # DMA sems [2, 1 + H + HV (+ H)]
     out_sems,           # DMA sems [2]
     old_sems,           # DMA sems [2]
     *,
@@ -393,6 +447,7 @@ def _gat_bwd_kernel(
     featp: int,         # per-plane lane width (128 when packed)
     true_feat: int,     # logical per-head F
     packed: bool,
+    use_dmask: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -430,6 +485,15 @@ def _gat_bwd_kernel(
                     in_sems.at[slot, 1 + heads + v],
                 )
             )
+        if use_dmask:
+            for h in range(heads):
+                copies.append(
+                    pltpu.make_async_copy(
+                        dmask_hbm.at[h, pl.ds(start // 128, SUBS), :],
+                        dmask_scr.at[slot, h],
+                        in_sems.at[slot, 1 + heads + n_val + h],
+                    )
+                )
         return copies
 
     @pl.when(n_chunks > 0)
@@ -504,10 +568,20 @@ def _gat_bwd_kernel(
                 # l is pre-clamped ≥ 1e-30 on real rows; invalid lanes are
                 # masked before any inf can meet a 0.
                 alpha = jnp.where(valid, jnp.exp(le - m_r) / l_r, 0.0)
-                al_scr[slot, h, pl.ds(sub, 1), :] = alpha
-                dl_scr[slot, h, pl.ds(sub, 1), :] = (
-                    alpha * (dots[h][None, :] - be)
-                )
+                if use_dmask:
+                    # out = Σ D·α·v, so β = ⟨g, out⟩ already carries D;
+                    # dlogit = α (D·⟨g,v⟩ − β) and the CSC dWh pass needs
+                    # the dropped coefficients α·D.
+                    d_r = dmask_scr[slot, h][sub][None, :]
+                    al_scr[slot, h, pl.ds(sub, 1), :] = alpha * d_r
+                    dl_scr[slot, h, pl.ds(sub, 1), :] = (
+                        alpha * (d_r * dots[h][None, :] - be)
+                    )
+                else:
+                    al_scr[slot, h, pl.ds(sub, 1), :] = alpha
+                    dl_scr[slot, h, pl.ds(sub, 1), :] = (
+                        alpha * (dots[h][None, :] - be)
+                    )
 
         # First chunk may overlap the predecessor block's range: keep its
         # rows for edges < p0 (ours are zero there), overwrite the rest.
@@ -548,8 +622,8 @@ def _gat_bwd_kernel(
 
 
 def _gat_bwd_call(
-    csr: PallasCSR, logits3d, vals_t, g_blk, mlb_blk, heads, featp, true_feat,
-    packed, *, interpret,
+    csr: PallasCSR, logits3d, vals_t, dmask3d, g_blk, mlb_blk, heads, featp,
+    true_feat, packed, *, interpret,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -558,10 +632,14 @@ def _gat_bwd_call(
     n_val = 1 if packed else heads
     hf = g_blk.shape[1]
     e_rows = csr.senders.shape[0] // 128
+    use_dmask = dmask3d is not None
+    if not use_dmask:
+        dmask3d = jnp.zeros((heads, 1, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -581,11 +659,17 @@ def _gat_bwd_call(
             pltpu.VMEM((2, n_val, 128 if packed else featp, E_CHUNK),
                        jnp.float32),
             pltpu.VMEM((2, SUBS, 128), jnp.int32),
+            pltpu.VMEM(
+                (2, heads, SUBS, 128) if use_dmask else (2, 1, 1, 128),
+                jnp.float32,
+            ),
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
             pltpu.VMEM((heads, SUBS, 128), jnp.float32),
             pltpu.VMEM((heads, SUBS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 1 + heads + n_val)),
+            pltpu.SemaphoreType.DMA(
+                (2, 1 + heads + n_val + (heads if use_dmask else 0))
+            ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -593,7 +677,7 @@ def _gat_bwd_call(
     return pl.pallas_call(
         partial(
             _gat_bwd_kernel, heads=heads, featp=featp, true_feat=true_feat,
-            packed=packed,
+            packed=packed, use_dmask=use_dmask,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((heads, e_rows, 128), jnp.float32),
@@ -602,10 +686,10 @@ def _gat_bwd_call(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(csr.blk_ptr, logits3d, vals_t, csr.rel, g_blk, mlb_blk)
+    )(csr.blk_ptr, logits3d, vals_t, csr.rel, dmask3d, g_blk, mlb_blk)
 
 
-def _bwd_fused(csr, res, g):
+def _bwd_fused(csr, res, g, dmask=None):
     """Fused α/dlogit backward — one Pallas pass, then the CSC reduction."""
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
@@ -617,12 +701,8 @@ def _bwd_fused(csr, res, g):
     nb_rows = csr.n_blocks * BLOCK_ROWS
     g = g.astype(jnp.float32)
 
-    logits3d = (
-        jnp.pad(
-            logits.astype(jnp.float32), ((0, e_pad - e_orig), (0, 0))
-        )
-        .T.reshape(heads, e_pad // 128, 128)
-    )
+    logits3d = _to3d(logits, e_pad)
+    dmask3d = None if dmask is None else _to3d(dmask, e_pad)
     # Recompute the sender gather (same op the XLA path pays) but store it
     # feature-major so the kernel's per-chunk value DMA lands lane=edge.
     gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
@@ -657,11 +737,11 @@ def _bwd_fused(csr, res, g):
     )
 
     dl3, al3 = _gat_bwd_call(
-        csr, logits3d, vals_t, g_blk, mlb_blk, heads, featp, feat, packed,
-        interpret=not _is_tpu(),
+        csr, logits3d, vals_t, dmask3d, g_blk, mlb_blk, heads, featp, feat,
+        packed, interpret=not _is_tpu(),
     )
     dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
-    alpha = al3.reshape(heads, e_pad).T                           # [E_pad, H]
+    alpha = al3.reshape(heads, e_pad).T             # [E_pad, H] (α·D if drop)
 
     # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — Âᵀ reduction on the CSC view.
     alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)
@@ -679,15 +759,15 @@ def _gat_fwd(csr, logits, wh):
     return out, (logits, wh, out, m, l)
 
 
-def _bwd_xla(csr, res, g):
+def _bwd_xla(csr, res, g, dmask=None):
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
+    e_pad = csr.senders.shape[0]
     heads, feat = wh.shape[-2], wh.shape[-1]
     g = g.astype(jnp.float32)
     emask = csr.edge_mask()[:, None]                             # [E_pad, 1]
     logits_p = jnp.pad(
-        logits.astype(jnp.float32),
-        ((0, csr.senders.shape[0] - e_orig), (0, 0)),
+        logits.astype(jnp.float32), ((0, e_pad - e_orig), (0, 0))
     )
 
     # α from the saved softmax statistics — gathers only, no segment ops.
@@ -702,8 +782,15 @@ def _bwd_xla(csr, res, g):
     v = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)    # [E_pad,H,F]
     dot = jnp.sum(gv * v, axis=-1)                               # [E_pad, H]
     beta = jnp.sum(g * out.astype(jnp.float32), axis=-1)         # [N_pad, H]
+    if dmask is not None:
+        d_p = jnp.pad(
+            dmask.astype(jnp.float32), ((0, e_pad - dmask.shape[0]), (0, 0))
+        )
+        dot = dot * d_p            # dlogit = α (D·⟨g,v⟩ − β); β carries D
     dlogits = alpha * (dot - jnp.take(beta, csr.receivers, axis=0))
     dlogits = jnp.where(emask, dlogits, 0.0)[:e_orig]
+    if dmask is not None:
+        alpha = alpha * d_p        # the CSC dWh pass reduces α·D coefficients
 
     # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
     # the CSC view.  Build the messages directly in CSC order: permute only
@@ -722,14 +809,33 @@ def _bwd_xla(csr, res, g):
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 
 
-def _gat_bwd(csr, res, g):
-    heads = res[1].shape[-2]
-    use_fused = (
+def _use_fused(heads):
+    return (
         os.environ.get("GODE_GAT_BWD", "fused").lower() != "xla"
         # mlb packing needs [m|l|beta] to fit one 128-lane block.
         and 3 * heads <= 128
     )
-    return (_bwd_fused if use_fused else _bwd_xla)(csr, res, g)
+
+
+def _gat_bwd(csr, res, g):
+    heads = res[1].shape[-2]
+    return (_bwd_fused if _use_fused(heads) else _bwd_xla)(csr, res, g)
 
 
 gat_aggregate_pallas.defvjp(_gat_fwd, _gat_bwd)
+
+
+def _gat_drop_fwd(csr, logits, wh, dmask):
+    out, m, l = _fwd_impl(csr, logits, wh, dmask)
+    return out, (logits, wh, out, m, l, dmask)
+
+
+def _gat_drop_bwd(csr, res, g):
+    *res5, dmask = res
+    heads = res5[1].shape[-2]
+    fn = _bwd_fused if _use_fused(heads) else _bwd_xla
+    dlogits, dwh = fn(csr, tuple(res5), g, dmask)
+    return dlogits, dwh, jnp.zeros_like(dmask)
+
+
+gat_aggregate_pallas_dropout.defvjp(_gat_drop_fwd, _gat_drop_bwd)

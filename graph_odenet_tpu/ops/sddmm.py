@@ -69,14 +69,22 @@ def attention_aggregate(
     Returns ``[N_pad, H, F]`` aggregated features.
     """
     # PallasCSR adjacency → fused SDDMM-softmax-SpMM kernel (TPU fast path).
-    # Attention dropout falls back to the segment path (the fused kernel has
-    # no per-edge RNG); PallasCSR duck-types the Graph fields it needs.
-    if type(g).__name__ == "PallasCSR" and (
-        edge_dropout_rng is None or edge_dropout_rate == 0.0
-    ):
-        from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas
+    # Attention dropout stays on the fused path: the keep mask is drawn
+    # XLA-side ([E, H], cheap) and streamed into the kernel as an α scale,
+    # so training with the reference's attn dropout keeps kernel speed.
+    if type(g).__name__ == "PallasCSR":
+        from graph_odenet_tpu.ops.pallas_gat import (
+            gat_aggregate_pallas,
+            gat_aggregate_pallas_dropout,
+        )
 
-        return gat_aggregate_pallas(g, logits, values)
+        if edge_dropout_rng is None or edge_dropout_rate == 0.0:
+            return gat_aggregate_pallas(g, logits, values)
+        keep = jax.random.bernoulli(
+            edge_dropout_rng, 1.0 - edge_dropout_rate, logits.shape
+        )
+        dmask = keep.astype(jnp.float32) / (1.0 - edge_dropout_rate)
+        return gat_aggregate_pallas_dropout(g, logits, values, dmask)
 
     mask = g.edge_mask()[:, None]
     alpha = segment_softmax(logits, g.receivers, g.n_node_pad, mask=mask)

@@ -129,6 +129,78 @@ def test_fused_bwd_hub_receiver():
         )
 
 
+def _segment_reference_with_mask(g, logits, wh, dmask):
+    """Segment-path attention with an injected post-softmax α scale."""
+    from graph_odenet_tpu.ops.segment import (
+        gather, segment_softmax, segment_sum,
+    )
+
+    mask = g.edge_mask()[:, None]
+    alpha = segment_softmax(logits, g.receivers, g.n_node_pad, mask=mask)
+    alpha = alpha * dmask
+    msgs = gather(wh, g.senders) * alpha[..., None]
+    return segment_sum(msgs, g.receivers, num_segments=g.n_node_pad)
+
+
+@pytest.mark.parametrize("heads,feat", [(2, 16), (2, 96)])
+def test_fused_dropout_matches_reference(heads, feat):
+    """Fused kernel with a dropout mask == segment path given the SAME mask,
+    forward and gradients."""
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_dropout
+
+    g, csr, logits, wh = make_case(seed=4, heads=heads, feat=feat)
+    rng = np.random.default_rng(11)
+    rate = 0.4
+    keep = rng.random((g.n_edge_pad, heads)) > rate
+    dmask = jnp.asarray(keep / (1.0 - rate), jnp.float32)
+
+    def loss_p(lg, w):
+        return jnp.sum(jnp.sin(gat_aggregate_pallas_dropout(csr, lg, w, dmask)))
+
+    def loss_r(lg, w):
+        return jnp.sum(jnp.sin(_segment_reference_with_mask(g, lg, w, dmask)))
+
+    np.testing.assert_allclose(
+        np.asarray(gat_aggregate_pallas_dropout(csr, logits, wh, dmask)),
+        np.asarray(_segment_reference_with_mask(g, logits, wh, dmask)),
+        atol=2e-5, rtol=2e-5,
+    )
+    gp = jax.grad(loss_p, argnums=(0, 1))(logits, wh)
+    gr = jax.grad(loss_r, argnums=(0, 1))(logits, wh)
+    for a, b, name in [(gp[0], gr[0], "dlogits"), (gp[1], gr[1], "dwh")]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_fused_dropout_ones_mask_is_identity():
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_dropout
+
+    _, csr, logits, wh = make_case(seed=5, heads=4, feat=16)
+    ones = jnp.ones_like(logits)
+    np.testing.assert_allclose(
+        np.asarray(gat_aggregate_pallas_dropout(csr, logits, wh, ones)),
+        np.asarray(gat_aggregate_pallas(csr, logits, wh)),
+        atol=1e-6, rtol=1e-6,
+    )
+
+
+def test_attention_aggregate_dropout_uses_fused_path():
+    """attention_aggregate on PallasCSR with dropout matches the fused
+    dropout op fed the same XLA-drawn mask (i.e. no segment fallback)."""
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_dropout
+
+    _, csr, logits, wh = make_case(seed=6, heads=2, feat=16)
+    rate, key = 0.3, jax.random.PRNGKey(9)
+    got = attention_aggregate(
+        csr, logits, wh, edge_dropout_rng=key, edge_dropout_rate=rate
+    )
+    keep = jax.random.bernoulli(key, 1.0 - rate, logits.shape)
+    dmask = keep.astype(jnp.float32) / (1.0 - rate)
+    want = gat_aggregate_pallas_dropout(csr, logits, wh, dmask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_fused_gat_hub_receiver():
     """Degree ≫ E_CHUNK receiver exercises multi-chunk online softmax."""
     rng = np.random.default_rng(3)
