@@ -33,9 +33,10 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from graph_odenet_tpu.ode.tableaus import DOPRI5, rk_step
+from graph_odenet_tpu.ode.tableaus import DOPRI5, Tableau, rk_step
 
-__all__ = ["odeint_dopri5", "odeint_dopri5_scan"]
+__all__ = ["odeint_adaptive", "odeint_adaptive_scan",
+           "odeint_dopri5", "odeint_dopri5_scan"]
 
 # dopri5.f controller constants.
 _SAFETY = 0.9
@@ -126,16 +127,27 @@ def _controller(err, facold, rejected, dt):
     return accept, dt_next, facold_next
 
 
-def _attempt_step(func, rtol, atol, s: _State) -> _State:
-    """One accept-or-reject dopri5 attempt from s.t with step s.dt."""
-    y1, f1, y_err, k = rk_step(func, DOPRI5, s.t, s.y, s.f, s.dt)
+def _nfe_per_step(tab: Tableau) -> int:
+    # rk_step evaluates stages 1..S-1 (k0 is the FSAL carry) plus one
+    # extra f(t+dt, y1) for non-FSAL tableaus.
+    return len(tab.b) - 1 + (0 if tab.fsal else 1)
+
+
+def _attempt_step(func, tab, rtol, atol, s: _State) -> _State:
+    """One accept-or-reject RK attempt from s.t with step s.dt."""
+    y1, f1, y_err, k = rk_step(func, tab, s.t, s.y, s.f, s.dt)
     err = jax.lax.stop_gradient(_error_ratio(y_err, s.y, y1, rtol, atol))
     accept, dt_next, facold = _controller(
         err, s.facold, s.rejected, jax.lax.stop_gradient(s.dt)
     )
 
-    c_mid = jnp.asarray(DOPRI5.c_mid, dtype=s.y.dtype)
-    y_mid = s.y + s.dt * jnp.tensordot(c_mid, k, axes=1)
+    if tab.c_mid is not None:
+        c_mid = jnp.asarray(tab.c_mid, dtype=s.y.dtype)
+        y_mid = s.y + s.dt * jnp.tensordot(c_mid, k, axes=1)
+    else:
+        # Cubic-Hermite midpoint — enough dense-output accuracy for
+        # order ≤ 3 tableaus without published c_mid weights.
+        y_mid = 0.5 * (s.y + y1) + s.dt * (s.f - f1) / 8.0
     new_coeffs = _interp_fit(s.y, y1, y_mid, s.f, f1, s.dt)
 
     sel = lambda a, b: jnp.where(accept, a, b)
@@ -149,17 +161,18 @@ def _attempt_step(func, rtol, atol, s: _State) -> _State:
         coeffs=sel(new_coeffs, s.coeffs),
         facold=facold,
         rejected=jnp.logical_not(accept),
-        nfe=s.nfe + 6,  # 7 FSAL stages, k7 reused as next f0
+        nfe=s.nfe + _nfe_per_step(tab),
         n_accept=s.n_accept + accept.astype(jnp.int32),
         n_reject=s.n_reject + (1 - accept.astype(jnp.int32)),
     )
 
 
-def odeint_dopri5(
+def odeint_adaptive(
     func: Callable,
     y0: jax.Array,
     ts: jax.Array,
     *,
+    tab: Tableau = DOPRI5,
     rtol: float = 1e-7,
     atol: float = 1e-9,
     max_steps: int = 10_000,
@@ -176,7 +189,7 @@ def odeint_dopri5(
     t0 = ts[0]
     f0 = func(t0, y0)
     if first_step is None:
-        dt0 = _initial_step(func, t0, y0, f0, DOPRI5.order - 1, rtol, atol)
+        dt0 = _initial_step(func, t0, y0, f0, tab.order - 1, rtol, atol)
         nfe0 = jnp.asarray(3, jnp.int32)  # f0 + the two probe evals
     else:
         dt0 = jnp.asarray(first_step, dtype)
@@ -202,7 +215,7 @@ def odeint_dopri5(
             return (s.t < t_target) & (s.i < max_steps)
 
         def body(s):
-            return _attempt_step(func, rtol, atol, s)
+            return _attempt_step(func, tab, rtol, atol, s)
 
         s = jax.lax.while_loop(cond, body, state._replace(i=jnp.asarray(0, jnp.int32)))
         y_t = _interp_eval(s.coeffs, s.last_t, s.t, t_target)
@@ -214,11 +227,12 @@ def odeint_dopri5(
     return ys, stats
 
 
-def odeint_dopri5_scan(
+def odeint_adaptive_scan(
     func: Callable,
     y0: jax.Array,
     ts: jax.Array,
     *,
+    tab: Tableau = DOPRI5,
     rtol: float = 1e-7,
     atol: float = 1e-9,
     max_steps_per_interval: int = 64,
@@ -236,7 +250,7 @@ def odeint_dopri5_scan(
     t0 = ts[0]
     f0 = func(t0, y0)
     if first_step is None:
-        dt0 = _initial_step(func, t0, y0, f0, DOPRI5.order - 1, rtol, atol)
+        dt0 = _initial_step(func, t0, y0, f0, tab.order - 1, rtol, atol)
         nfe0 = jnp.asarray(3, jnp.int32)
     else:
         dt0 = jnp.asarray(first_step, dtype)
@@ -249,7 +263,7 @@ def odeint_dopri5_scan(
             t, y, f, dt, facold, rejected, nfe = inner
             done = t >= t_target
             dt_used = jnp.minimum(dt, t_target - t)
-            y1, f1, y_err, _ = rk_step(func, DOPRI5, t, y, f, dt_used)
+            y1, f1, y_err, _ = rk_step(func, tab, t, y, f, dt_used)
             err = jax.lax.stop_gradient(_error_ratio(y_err, y, y1, rtol, atol))
             accept, dt_next, facold_new = _controller(
                 err, facold, rejected, jax.lax.stop_gradient(dt_used)
@@ -262,7 +276,7 @@ def odeint_dopri5_scan(
             dt = jnp.where(done, dt, dt_next)
             facold = jnp.where(done, facold, facold_new)
             rejected = jnp.where(done, rejected, ~accept)
-            nfe = nfe + jnp.where(done, 0, 6)
+            nfe = nfe + jnp.where(done, 0, _nfe_per_step(tab))
             return (t, y, f, dt, facold, rejected, nfe), None
 
         inner0 = (t, y, f, dt, facold, jnp.asarray(False), nfe)
@@ -276,3 +290,13 @@ def odeint_dopri5_scan(
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
     stats = dict(nfe=nfe, n_accept=jnp.asarray(-1), n_reject=jnp.asarray(-1))
     return ys, stats
+
+
+def odeint_dopri5(func, y0, ts, **kw):
+    """Backwards-compatible alias: ``odeint_adaptive`` with DOPRI5."""
+    return odeint_adaptive(func, y0, ts, tab=DOPRI5, **kw)
+
+
+def odeint_dopri5_scan(func, y0, ts, **kw):
+    """Backwards-compatible alias: ``odeint_adaptive_scan`` with DOPRI5."""
+    return odeint_adaptive_scan(func, y0, ts, tab=DOPRI5, **kw)

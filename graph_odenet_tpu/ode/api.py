@@ -14,10 +14,12 @@ deliberate TPU-first choices:
     ``jax.grad`` w.r.t. parameters works with every differentiable method.
 
 Method → differentiability:
-  euler / midpoint / rk4 / rk4_classic   reverse-mode AD through lax.scan
-  dopri5                                 forward only (lax.while_loop);
-                                         use dopri5_scan or odeint_adjoint
-  dopri5_scan                            reverse-mode AD (bounded scan)
+  euler / midpoint / rk4 / rk4_classic     reverse-mode AD through lax.scan
+  dopri5 / bosh3 / adaptive_heun /
+  fehlberg2                                forward only (lax.while_loop);
+                                           use the ``*_scan`` variant or
+                                           odeint_adjoint for reverse-mode
+  dopri5_scan / bosh3_scan / …_scan        reverse-mode AD (bounded scan)
 
 ``odeint_adjoint`` (SURVEY.md §2 T4) wraps any method with the O(1)-memory
 continuous adjoint.
@@ -35,8 +37,6 @@ from graph_odenet_tpu.ode import adaptive, fixed, tableaus
 
 __all__ = ["odeint", "odeint_adjoint", "SOLVERS"]
 
-SOLVERS = ("euler", "midpoint", "rk4", "rk4_classic", "dopri5", "dopri5_scan")
-
 _FIXED = {
     "euler": tableaus.EULER,
     "midpoint": tableaus.MIDPOINT,
@@ -44,6 +44,19 @@ _FIXED = {
     "rk4": tableaus.RK4_38,
     "rk4_classic": tableaus.RK4,
 }
+
+# torchdiffeq's explicit adaptive solver zoo; each also has a reverse-
+# differentiable "<name>_scan" variant (bounded scan + masking).
+_ADAPTIVE = {
+    "dopri5": tableaus.DOPRI5,
+    "bosh3": tableaus.BOSH3,
+    "adaptive_heun": tableaus.HEUN12,
+    "fehlberg2": tableaus.FEHLBERG2,
+}
+
+SOLVERS = tuple(_FIXED) + tuple(_ADAPTIVE) + tuple(
+    f"{m}_scan" for m in _ADAPTIVE
+)
 
 
 def _ravel_problem(func, y0, args):
@@ -110,14 +123,14 @@ def odeint(
             f_flat, _FIXED[method], y0_flat, ts, steps_per_interval=steps_per_interval
         )
         stats = dict(nfe=nfe)
-    elif method == "dopri5":
-        ys_flat, stats = adaptive.odeint_dopri5(
-            f_flat, y0_flat, ts,
+    elif method in _ADAPTIVE:
+        ys_flat, stats = adaptive.odeint_adaptive(
+            f_flat, y0_flat, ts, tab=_ADAPTIVE[method],
             rtol=rtol, atol=atol, max_steps=max_steps, first_step=first_step,
         )
-    elif method == "dopri5_scan":
-        ys_flat, stats = adaptive.odeint_dopri5_scan(
-            f_flat, y0_flat, ts,
+    elif method.endswith("_scan") and method[:-5] in _ADAPTIVE:
+        ys_flat, stats = adaptive.odeint_adaptive_scan(
+            f_flat, y0_flat, ts, tab=_ADAPTIVE[method[:-5]],
             rtol=rtol, atol=atol,
             max_steps_per_interval=max_steps_per_interval, first_step=first_step,
         )

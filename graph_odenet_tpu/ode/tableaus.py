@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Tableau", "EULER", "MIDPOINT", "RK4", "RK4_38", "DOPRI5", "rk_step"]
+__all__ = [
+    "Tableau", "EULER", "MIDPOINT", "RK4", "RK4_38",
+    "HEUN12", "FEHLBERG2", "BOSH3", "DOPRI5", "rk_step",
+]
 
 
 class Tableau(NamedTuple):
@@ -67,6 +70,34 @@ RK4_38 = _tab(
     b=[1 / 8, 3 / 8, 3 / 8, 1 / 8],
     c=[0.0, 1 / 3, 2 / 3, 1.0],
     order=4,
+)
+
+# Heun–Euler 2(1) — torchdiffeq's ``adaptive_heun``.
+HEUN12 = _tab(
+    [[1.0]],
+    b=[0.5, 0.5],
+    c=[0.0, 1.0],
+    b_err=[-0.5, 0.5],   # b − b*  with  b* = [1, 0]  (embedded Euler)
+    order=2,
+)
+
+# Fehlberg RK1(2) — torchdiffeq's ``fehlberg2`` (2nd order with embedded 1st).
+FEHLBERG2 = _tab(
+    [[1 / 2], [1 / 256, 255 / 256]],
+    b=[1 / 512, 255 / 256, 1 / 512],
+    c=[0.0, 1 / 2, 1.0],
+    b_err=[-1 / 512, 0.0, 1 / 512],   # b − b*  with  b* = [1/256, 255/256, 0]
+    order=2,
+)
+
+# Bogacki–Shampine 3(2), FSAL — torchdiffeq's ``bosh3``.
+BOSH3 = _tab(
+    [[1 / 2], [0.0, 3 / 4], [2 / 9, 1 / 3, 4 / 9]],
+    b=[2 / 9, 1 / 3, 4 / 9, 0.0],
+    c=[0.0, 1 / 2, 3 / 4, 1.0],
+    b_err=[-5 / 72, 1 / 12, 1 / 9, -1 / 8],   # b − [7/24, 1/4, 1/3, 1/8]
+    order=3,
+    fsal=True,
 )
 
 # Dormand–Prince 5(4), FSAL.  b_err = b − b* (5th-order minus embedded

@@ -79,6 +79,57 @@ def test_adaptive_solves_oscillator_to_tolerance(method):
     assert int(stats["nfe"]) > 0
 
 
+@pytest.mark.parametrize(
+    "method", ["bosh3", "bosh3_scan", "adaptive_heun", "fehlberg2"]
+)
+def test_other_adaptive_methods_solve_oscillator(method):
+    """torchdiffeq's remaining explicit adaptive zoo (SURVEY.md §2 T3)."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 2 * np.pi, 20)
+    ys, stats = odeint(
+        oscillator, y0, ts, method=method, rtol=1e-6, atol=1e-8,
+        return_stats=True, max_steps_per_interval=512,
+    )
+    expected = oscillator_sol(np.asarray(ts)).T
+    # Low-order pairs control the *embedded* (lower-order) solution while
+    # propagating the higher one (local extrapolation), so global error can
+    # exceed the tolerance by a modest constant — same as torchdiffeq.
+    tol = {"bosh3": 1e-4, "bosh3_scan": 1e-4,
+           "adaptive_heun": 2e-4, "fehlberg2": 5e-4}[method]
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(expected), atol=tol)
+    assert int(stats["nfe"]) > 0
+
+
+def test_lower_order_adaptive_needs_more_steps():
+    """Order sanity: at equal tolerance, heun (2nd) > bosh3 (3rd) > dopri5
+    (5th) in function evaluations."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 2 * np.pi])
+    nfe = {}
+    for m in ("adaptive_heun", "bosh3", "dopri5"):
+        _, stats = odeint(
+            oscillator, y0, ts, method=m, rtol=1e-6, atol=1e-8,
+            return_stats=True,
+        )
+        nfe[m] = int(stats["nfe"])
+    assert nfe["adaptive_heun"] > nfe["bosh3"] > nfe["dopri5"], nfe
+
+
+def test_grad_through_bosh3_scan():
+    def loss(k):
+        ys = odeint(
+            lambda t, y: -k * y, jnp.array([1.0]), jnp.array([0.0, 1.0]),
+            method="bosh3_scan", rtol=1e-6, atol=1e-8,
+            max_steps_per_interval=256,
+        )
+        return ys[-1, 0]
+
+    k = jnp.asarray(0.7)
+    g = jax.grad(loss)(k)
+    # d/dk exp(-k) = -exp(-k)
+    np.testing.assert_allclose(float(g), -np.exp(-0.7), rtol=1e-4)
+
+
 def test_dopri5_nfe_scales_with_tolerance():
     """Tighter tolerance ⇒ more function evaluations (controller works)."""
     y0 = jnp.array([1.0, 0.0])
