@@ -18,3 +18,4 @@ are documented as out of scope.
 from graph_odenet_tpu.parallel.mesh import make_mesh, bootstrap_distributed  # noqa: F401
 from graph_odenet_tpu.parallel.partition import PartitionedGraph, partition_by_receiver  # noqa: F401
 from graph_odenet_tpu.parallel.halo import spmm_sharded  # noqa: F401
+from graph_odenet_tpu.parallel.sharded_gat import gat_sharded  # noqa: F401

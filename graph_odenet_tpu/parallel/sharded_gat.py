@@ -1,0 +1,132 @@
+"""Edge-partitioned multi-head graph attention (sharded GAT).
+
+Extends the halo-ring SpMM (``parallel.halo``) to the reference's attention
+sandwich (SURVEY.md §3.3) across a device mesh.  Receiver-block edge
+partitioning (``partition_by_receiver``) makes every receiver's incoming
+edge set shard-local, so the masked softmax never crosses devices — but the
+*sender* features live on remote shards.  The ring therefore carries each
+block's ``(Wh, s_src)`` chunk around the mesh, and every shard folds the
+arriving bucket into a **flash-style online softmax**:
+
+    step k (holding block b = me+k's chunk):
+      e      = LeakyReLU(s_src_chunk[senders] + s_dst_local[receivers])
+      m_new  = max(m, segment_max(e))
+      acc    = acc·exp(m − m_new) + segment_sum(exp(e − m_new)·Wh_chunk)
+      l      = l·exp(m − m_new) + segment_sum(exp(e − m_new))
+    out = acc / l
+
+This is the same online update the fused single-chip Pallas kernel uses
+over E_CHUNKs (ops/pallas_gat.py), lifted to mesh granularity — the
+communication (ppermute) overlaps the local segment ops, and the whole
+thing is plain differentiable XLA (ppermute transposes to ppermute under
+AD), so no custom VJP is needed.
+
+Padding edges inside each bucket are masked via ``pg.weight == 0`` (the
+partitioner zero-fills padding slots; GAT adjacencies are unnormalised so
+real edges carry weight 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_odenet_tpu.parallel.partition import PartitionedGraph
+
+__all__ = ["gat_sharded"]
+
+_NEG = -1e30
+
+
+def gat_sharded(
+    pg: PartitionedGraph,
+    s_src: jax.Array,
+    s_dst: jax.Array,
+    wh: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "edge",
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Masked-softmax attention aggregation, node rows sharded over ``axis``.
+
+    Args:
+      pg:    receiver-block partitioning with ``n_parts == mesh.shape[axis]``.
+      s_src: f32[N_pad, H] source-side scores (``Wh @ a_src`` per head).
+      s_dst: f32[N_pad, H] destination-side scores.
+      wh:    f32[N_pad, H, F] per-head node values.
+
+    Returns f32[N_pad, H, F], same sharding as the inputs (P(axis) rows).
+    Matches the single-device ``ops.sddmm`` path to float tolerance.
+    """
+    n_parts = mesh.shape[axis]
+    if pg.n_parts != n_parts:
+        raise ValueError(
+            f"partitioning has {pg.n_parts} parts, mesh axis {n_parts}"
+        )
+    B = pg.block_size
+    heads, feat = wh.shape[-2], wh.shape[-1]
+
+    def kernel(senders_rel, receivers_rel, weight, ssrc_shard, sdst_shard,
+               wh_shard):
+        me = jax.lax.axis_index(axis)
+        perm = [((i + 1) % n_parts, i) for i in range(n_parts)]
+
+        def bucket_update(src_block, chunk, m, l, acc):
+            ssrc_c, wh_c = chunk
+            s_b = jnp.take(senders_rel[0], src_block, axis=0)    # [E_b]
+            r_b = jnp.take(receivers_rel[0], src_block, axis=0)  # [E_b]
+            real = jnp.take(weight[0], src_block, axis=0) != 0.0
+            e = jax.nn.leaky_relu(
+                jnp.take(ssrc_c, s_b, axis=0) + jnp.take(sdst_shard, r_b, axis=0),
+                negative_slope=negative_slope,
+            )                                                    # [E_b, H]
+            e = jnp.where(real[:, None], e, _NEG)
+            m_bucket = jax.ops.segment_max(
+                e, r_b, num_segments=B, indices_are_sorted=True
+            )
+            m_new = jnp.maximum(m, jnp.maximum(m_bucket, _NEG))  # [B, H]
+            p = jnp.where(
+                real[:, None],
+                jnp.exp(e - jnp.take(m_new, r_b, axis=0)),
+                0.0,
+            )                                                    # [E_b, H]
+            rescale = jnp.exp(m - m_new)                         # [B, H]
+            msgs = jnp.take(wh_c, s_b, axis=0) * p[..., None]    # [E_b, H, F]
+            acc = acc * rescale[..., None] + jax.ops.segment_sum(
+                msgs, r_b, num_segments=B, indices_are_sorted=True
+            )
+            l = l * rescale + jax.ops.segment_sum(
+                p, r_b, num_segments=B, indices_are_sorted=True
+            )
+            return m_new, l, acc
+
+        def body(k, carry):
+            m, l, acc, chunk = carry
+            src_block = (me + k) % n_parts
+            # Launch the next hop first — the DMA overlaps the local
+            # segment ops below.
+            nxt = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(a, axis, perm=perm), chunk
+            )
+            m, l, acc = bucket_update(src_block, chunk, m, l, acc)
+            return m, l, acc, nxt
+
+        vary = lambda a: jax.lax.pcast(a, (axis,), to="varying")
+        m0 = vary(jnp.full((B, heads), _NEG, wh_shard.dtype))
+        l0 = vary(jnp.zeros((B, heads), wh_shard.dtype))
+        acc0 = vary(jnp.zeros((B, heads, feat), wh_shard.dtype))
+        m, l, acc, _ = jax.lax.fori_loop(
+            0, n_parts, body, (m0, l0, acc0, (ssrc_shard, wh_shard))
+        )
+        return acc / jnp.maximum(l, 1e-30)[..., None]
+
+    edge_spec = P(axis, None, None)
+    row = P(axis, None)
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(edge_spec, edge_spec, edge_spec, row, row, P(axis, None, None)),
+        out_specs=P(axis, None, None),
+    )(pg.senders_rel, pg.receivers_rel, pg.weight, s_src, s_dst, wh)
