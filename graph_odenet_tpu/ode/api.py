@@ -14,7 +14,8 @@ deliberate TPU-first choices:
     ``jax.grad`` w.r.t. parameters works with every differentiable method.
 
 Method → differentiability:
-  euler / midpoint / rk4 / rk4_classic     reverse-mode AD through lax.scan
+  euler / midpoint / rk4 / rk4_classic /
+  explicit_adams / implicit_adams          reverse-mode AD through lax.scan
   dopri5 / bosh3 / adaptive_heun /
   fehlberg2                                forward only (lax.while_loop);
                                            use the ``*_scan`` variant or
@@ -54,7 +55,10 @@ _ADAPTIVE = {
     "fehlberg2": tableaus.FEHLBERG2,
 }
 
-SOLVERS = tuple(_FIXED) + tuple(_ADAPTIVE) + tuple(
+# Fixed-grid multistep (torchdiffeq's explicit_adams / implicit_adams).
+_ADAMS = {"explicit_adams": False, "implicit_adams": True}
+
+SOLVERS = tuple(_FIXED) + tuple(_ADAMS) + tuple(_ADAPTIVE) + tuple(
     f"{m}_scan" for m in _ADAPTIVE
 )
 
@@ -121,6 +125,14 @@ def odeint(
     if method in _FIXED:
         ys_flat, nfe = fixed.odeint_fixed(
             f_flat, _FIXED[method], y0_flat, ts, steps_per_interval=steps_per_interval
+        )
+        stats = dict(nfe=nfe)
+    elif method in _ADAMS:
+        from graph_odenet_tpu.ode import adams
+
+        ys_flat, nfe = adams.odeint_adams(
+            f_flat, y0_flat, ts, steps_per_interval=steps_per_interval,
+            corrector=_ADAMS[method],
         )
         stats = dict(nfe=nfe)
     elif method in _ADAPTIVE:

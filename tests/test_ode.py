@@ -79,6 +79,56 @@ def test_adaptive_solves_oscillator_to_tolerance(method):
     assert int(stats["nfe"]) > 0
 
 
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_methods_solve_exp_decay(method):
+    y0 = jnp.array([1.0, 2.0])
+    ys = odeint(exp_decay, y0, TS, method=method, steps_per_interval=8)
+    expected = np.stack([exp_decay_sol(t, np.asarray(y0)) for t in np.asarray(TS)])
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(expected), atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_convergence_order_4(method):
+    y0 = jnp.array([1.0])
+    ts = jnp.array([0.0, 1.0])
+    errs = []
+    for n in (8, 16, 32):
+        ys = odeint(exp_decay, y0, ts, method=method, steps_per_interval=n)
+        errs.append(abs(float(ys[-1, 0]) - float(np.exp(-0.5))))
+    rate01 = np.log2(errs[0] / errs[1])
+    rate12 = np.log2(errs[1] / errs[2])
+    assert rate01 > 3.6, (method, errs)
+    assert rate12 > 3.6, (method, errs)
+
+
+def test_adams_fewer_nfe_than_rk4():
+    """The point of multistep: fewer dynamics evals per step than RK4."""
+    y0 = jnp.array([1.0, 0.0])
+    _, s_ab = odeint(
+        oscillator, y0, TS, method="explicit_adams", steps_per_interval=16,
+        return_stats=True,
+    )
+    _, s_rk = odeint(
+        oscillator, y0, TS, method="rk4", steps_per_interval=16,
+        return_stats=True,
+    )
+    assert int(s_ab["nfe"]) < int(s_rk["nfe"]) * 0.5, (
+        int(s_ab["nfe"]), int(s_rk["nfe"])
+    )
+
+
+def test_grad_through_adams():
+    def loss(k):
+        ys = odeint(
+            lambda t, y: -k * y, jnp.array([1.0]), jnp.array([0.0, 1.0]),
+            method="implicit_adams", steps_per_interval=16,
+        )
+        return ys[-1, 0]
+
+    g = jax.grad(loss)(jnp.asarray(0.7))
+    np.testing.assert_allclose(float(g), -np.exp(-0.7), rtol=1e-4)
+
+
 @pytest.mark.parametrize(
     "method", ["bosh3", "bosh3_scan", "adaptive_heun", "fehlberg2"]
 )
