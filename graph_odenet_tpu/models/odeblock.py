@@ -83,6 +83,10 @@ class ODEBlock(nn.Module):
     atol: float = 1e-4
     steps: int = 4              # fixed-grid substeps / scan bound per interval
     adjoint: bool = False
+    remat: bool = False         # rematerialise dynamics on backward: trades
+                                # one extra eval per stage for not storing
+                                # stage activations (HBM ↔ FLOPs, the TPU
+                                # memory lever for deep/many-step solves)
 
     @nn.compact
     def __call__(self, adj: Adj, h: jax.Array) -> jax.Array:
@@ -94,6 +98,9 @@ class ODEBlock(nn.Module):
 
         def f(t, y, p):
             return dyn.apply({"params": p}, t, adj, y)
+
+        if self.remat:
+            f = jax.checkpoint(f)
 
         ts = jnp.asarray([0.0, self.t1], dtype=h.dtype)
         if self.adjoint:

@@ -146,3 +146,46 @@ def test_inode_trajectory():
         np.asarray(y0[:, 2:]),
         atol=0.05,
     )
+
+
+def test_odeblock_remat_matches_no_remat():
+    """jax.checkpoint on the dynamics changes memory, not values/grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_odenet_tpu.data import synthetic_planetoid
+    from graph_odenet_tpu.models.odeblock import GCNDynamics, ODEBlock
+
+    data = synthetic_planetoid("cora", seed=0, scale=0.1)
+    adj = data.dense_adj()
+    h = jnp.asarray(
+        np.random.default_rng(0).standard_normal((data.graph.n_node_pad, 8)),
+        jnp.float32,
+    )
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        remat: bool
+
+        @nn.compact
+        def __call__(self, adj, h):
+            return ODEBlock(
+                GCNDynamics(8), method="rk4", steps=2, remat=self.remat
+            )(adj, h)
+
+    outs, grads = [], []
+    for remat in (False, True):
+        block = Wrap(remat)
+        params = block.init(jax.random.PRNGKey(0), adj, h)["params"]
+
+        def loss(p):
+            return jnp.sum(block.apply({"params": p}, adj, h) ** 2)
+
+        outs.append(np.asarray(block.apply({"params": params}, adj, h)))
+        grads.append(jax.grad(loss)(params))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads[0]), jax.tree_util.tree_leaves(grads[1])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
