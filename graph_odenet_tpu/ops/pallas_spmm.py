@@ -249,9 +249,14 @@ def _segment_reduce_kernel(
             oh = jnp.where(mask, 1.0, 0.0).astype(m.dtype)
             # NOTE: per-operand tuple precision (DEFAULT, HIGHEST) hangs the
             # Mosaic remote compiler on this toolchain — keep it symmetric.
+            # bf16 operands are single-pass regardless; HIGHEST on bf16
+            # crashes the Mosaic compiler, so pin DEFAULT there.
+            prec = _PRECISION if m.dtype == jnp.float32 else (
+                jax.lax.Precision.DEFAULT
+            )
             return jax.lax.dot_general(
                 oh, m, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=_PRECISION,
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
         if _WIDE:

@@ -77,3 +77,21 @@ def test_pallas_spmm_skewed_degrees():
         np.asarray(spmm_pallas(csr, x)), np.asarray(spmm(g, x)),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_spmm_pallas_bf16_inputs(setup):
+    """bf16 features flow through gather + kernel (the bf16-training tier);
+    output matches the f32 reference at bf16 tolerance, grads included."""
+    g, csr, x = setup
+    got = spmm_pallas(csr, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    ref = np.asarray(spmm(g, x))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-2, rtol=5e-2)
+
+    gb = jax.grad(
+        lambda x: jnp.sum(jnp.sin(spmm_pallas(csr, x).astype(jnp.float32)))
+    )(x.astype(jnp.bfloat16))
+    gr = jax.grad(lambda x: jnp.sum(jnp.sin(spmm(g, x))))(x)
+    assert gb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gb, dtype=np.float32), np.asarray(gr), atol=5e-2, rtol=5e-2
+    )
