@@ -51,6 +51,7 @@ def spmm_sharded(
     *,
     axis: str = "edge",
     mode: str = "ring",
+    check_vma: bool | None = None,
 ) -> jax.Array:
     """Â @ x with x row-sharded over ``axis``; returns the same sharding.
 
@@ -58,6 +59,11 @@ def spmm_sharded(
       pg: partitioning with ``n_parts == mesh.shape[axis]``.
       x:  f32[n_node_pad, F] node features (global view; sharded or not —
           ``shard_map`` re-shards as needed).
+      check_vma: pass ``False`` when composing with a batch mesh axis via
+          ``jax.vmap(..., spmd_axis_name=...)`` (DP × edge parallelism on a
+          2-D mesh) — jax's varying-manual-axes checker currently rejects
+          the batched scatter there (its own error suggests this
+          workaround); the 2-D-mesh test pins numerical correctness.
     """
     n_parts = mesh.shape[axis]
     if pg.n_parts != n_parts:
@@ -148,6 +154,7 @@ def spmm_sharded(
             mesh=mesh,
             in_specs=(edge_spec, edge_spec, edge_spec, x_spec),
             out_specs=x_spec,
+            check_vma=True if check_vma is None else check_vma,
         )(pg.senders_rel, pg.receivers_rel, pg.weight, x)
     tile_spec = P(axis, None, None, None)
     ptr_spec = P(axis, None, None)
@@ -158,6 +165,6 @@ def spmm_sharded(
         out_specs=x_spec,
         # pallas_call's out ShapeDtypeStruct carries no vma annotation, so
         # the varying-manual-axes check can't see through it.
-        check_vma=not use_pallas,
+        check_vma=(not use_pallas) if check_vma is None else check_vma,
     )(pg.senders_rel, pg.receivers_rel, pg.weight, pg.tile_rel,
       pg.tile_blk_ptr, x)

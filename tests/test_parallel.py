@@ -175,3 +175,31 @@ def test_gat_sharded_grad_matches_single_device(mesh):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), atol=2e-5, rtol=2e-5, err_msg=name
         )
+
+
+def test_spmm_sharded_2d_mesh_data_by_edge():
+    """DP × edge parallelism: a batch axis composed with the halo ring via
+    jax.vmap(spmd_axis_name) on a (data=4, edge=2) mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(7)
+    n = 96
+    a = rng.random((n, n)) < 0.06
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=n, normalize="row", node_multiple=8)
+    mesh2d = make_mesh(shape=(4, 2), axis_names=("data", "edge"))
+    pg = partition_by_receiver(g, 2, edge_multiple=8)
+    xb = jnp.asarray(
+        rng.standard_normal((8, g.n_node_pad, 16)), jnp.float32
+    )
+    xb = jax.device_put(xb, NamedSharding(mesh2d, P("data", "edge", None)))
+
+    f = jax.jit(jax.vmap(
+        lambda x: spmm_sharded(pg, x, mesh2d, mode="ring", check_vma=False),
+        spmd_axis_name="data",
+    ))
+    got = f(xb)
+    ref = jax.vmap(lambda x: spmm(g, x))(xb)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
