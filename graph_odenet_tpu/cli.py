@@ -83,8 +83,8 @@ def _config(args):
 def _bench(args):
     from graph_odenet_tpu import bench
 
-    fn = dict(spmm=bench.spmm_bench, ode=bench.ode_bench,
-              scaling=bench.scaling_bench)[args.which]
+    fn = dict(spmm=bench.spmm_bench, gat=bench.gat_bench,
+              ode=bench.ode_bench, scaling=bench.scaling_bench)[args.which]
     print(json.dumps(fn(), default=float))
 
 
@@ -138,7 +138,7 @@ def main(argv=None):
     c.set_defaults(fn=_config)
 
     b = sub.add_parser("bench", help="throughput benchmarks")
-    b.add_argument("which", choices=["spmm", "ode", "scaling"])
+    b.add_argument("which", choices=["spmm", "gat", "ode", "scaling"])
     b.set_defaults(fn=_bench)
 
     args = p.parse_args(argv)

@@ -2,13 +2,21 @@
 
 import pytest
 
-from graph_odenet_tpu.bench import ode_bench, scaling_bench, spmm_bench
+from graph_odenet_tpu.bench import (
+    gat_bench, ode_bench, scaling_bench, spmm_bench,
+)
 
 
 def test_spmm_bench_smoke():
     r = spmm_bench(n_nodes=512, n_edges=4_000, feat=32, iters=2)
     assert r["edges_per_s"] > 0
     assert r["n_edge"] >= 4_000  # symmetrised + self loops
+
+
+def test_gat_bench_smoke():
+    r = gat_bench(n_nodes=512, n_edges=4_000, heads=2, feat=8, iters=2)
+    assert r["edges_per_s"] > 0
+    assert "pallas_edges_per_s" in r or "pallas_error" in r
 
 
 def test_ode_bench_smoke():
