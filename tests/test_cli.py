@@ -8,11 +8,13 @@ from graph_odenet_tpu.cli import main
 def test_cli_node(capsys):
     main([
         "node", "--model", "gcn", "--dataset", "cora", "--scale", "0.08",
-        "--epochs", "8", "--patience", "8", "--quiet",
+        "--epochs", "40", "--patience", "40", "--quiet",
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["best"]["test_acc"] > 0.2
-    assert out["epochs_run"] == 8
+    # CLI plumbing smoke: well above 7-class chance (~0.14); exact accuracy on
+    # the tiny scale-0.08 twin graph varies with platform numerics.
+    assert out["best"]["test_acc"] > 0.35
+    assert out["epochs_run"] == 40
 
 
 def test_cli_physics_rollout(capsys):
