@@ -14,13 +14,16 @@ deliberate TPU-first choices:
     ``jax.grad`` w.r.t. parameters works with every differentiable method.
 
 Method → differentiability:
-  euler / midpoint / rk4 / rk4_classic /
-  explicit_adams / implicit_adams          reverse-mode AD through lax.scan
-  dopri5 / bosh3 / adaptive_heun /
+  euler / midpoint / heun2 / heun3 / rk4 /
+  rk4_classic / explicit_adams /
+  implicit_adams / fixed_adams             reverse-mode AD through lax.scan
+  dopri5 / dopri8 / bosh3 / adaptive_heun /
   fehlberg2                                forward only (lax.while_loop);
                                            use the ``*_scan`` variant or
                                            odeint_adjoint for reverse-mode
-  dopri5_scan / bosh3_scan / …_scan        reverse-mode AD (bounded scan)
+  dopri5_scan / dopri8_scan / …_scan       reverse-mode AD (bounded scan)
+  scipy_solver                             host-side solve_ivp (eager-only
+                                           validation path, forward only)
 
 ``odeint_adjoint`` (SURVEY.md §2 T4) wraps any method with the O(1)-memory
 continuous adjoint.
@@ -41,6 +44,8 @@ __all__ = ["odeint", "odeint_adjoint", "SOLVERS"]
 _FIXED = {
     "euler": tableaus.EULER,
     "midpoint": tableaus.MIDPOINT,
+    "heun2": tableaus.HEUN2,
+    "heun3": tableaus.HEUN3,
     # torchdiffeq's "rk4" is Kutta's 3/8 rule (rk4_alt_step_func) — match it.
     "rk4": tableaus.RK4_38,
     "rk4_classic": tableaus.RK4,
@@ -50,17 +55,19 @@ _FIXED = {
 # differentiable "<name>_scan" variant (bounded scan + masking).
 _ADAPTIVE = {
     "dopri5": tableaus.DOPRI5,
+    "dopri8": tableaus.DOPRI8,
     "bosh3": tableaus.BOSH3,
     "adaptive_heun": tableaus.HEUN12,
     "fehlberg2": tableaus.FEHLBERG2,
 }
 
-# Fixed-grid multistep (torchdiffeq's explicit_adams / implicit_adams).
-_ADAMS = {"explicit_adams": False, "implicit_adams": True}
+# Fixed-grid multistep (torchdiffeq's explicit_adams / implicit_adams;
+# "fixed_adams" is torchdiffeq's alias for the ABM predictor-corrector).
+_ADAMS = {"explicit_adams": False, "implicit_adams": True, "fixed_adams": True}
 
 SOLVERS = tuple(_FIXED) + tuple(_ADAMS) + tuple(_ADAPTIVE) + tuple(
     f"{m}_scan" for m in _ADAPTIVE
-)
+) + ("scipy_solver",)
 
 
 def _ravel_problem(func, y0, args):
@@ -71,6 +78,33 @@ def _ravel_problem(func, y0, args):
         return ravel_pytree(dy)[0]
 
     return y0_flat, unravel, f_flat
+
+
+def _scipy_solve(f_flat, y0_flat, ts, *, rtol, atol, scipy_method):
+    """Host-side solve_ivp on the ravelled problem (eager only)."""
+    if isinstance(y0_flat, jax.core.Tracer) or isinstance(ts, jax.core.Tracer):
+        raise ValueError(
+            "method='scipy_solver' is a host-side validation path and cannot "
+            "run under jit/grad; call it eagerly or pick an on-device method."
+        )
+    import numpy as np
+    from scipy.integrate import solve_ivp
+
+    dtype = y0_flat.dtype
+
+    def rhs(t, y):
+        return np.asarray(
+            f_flat(jnp.asarray(t, dtype), jnp.asarray(y, dtype)), np.float64
+        )
+
+    ts_np = np.asarray(ts, np.float64)
+    sol = solve_ivp(
+        rhs, (ts_np[0], ts_np[-1]), np.asarray(y0_flat, np.float64),
+        t_eval=ts_np, method=scipy_method, rtol=rtol, atol=atol,
+    )
+    if not sol.success:  # pragma: no cover - scipy failure surface
+        raise RuntimeError(f"scipy solve_ivp failed: {sol.message}")
+    return jnp.asarray(sol.y.T, dtype)
 
 
 def odeint(
@@ -86,6 +120,7 @@ def odeint(
     max_steps_per_interval: int = 64,
     first_step: float | None = None,
     return_stats: bool = False,
+    scipy_method: str = "RK45",
 ):
     """Integrate ``dy/dt = func(t, y, *args)`` over times ``ts`` (increasing).
 
@@ -119,10 +154,21 @@ def odeint(
                 max_steps_per_interval=max_steps_per_interval,
                 first_step=first_step,
                 return_stats=return_stats,
+                scipy_method=scipy_method,
             )
             return rev
 
-    if method in _FIXED:
+    if method == "scipy_solver":
+        # torchdiffeq's ``ScipyWrapperODESolver`` parity: host-side
+        # scipy.integrate.solve_ivp, exposed through ``jax.pure_callback`` so
+        # it composes with jit (each call syncs to host — validation tool,
+        # not a production path).  Forward-only, like the reference: use
+        # ``odeint_adjoint`` for gradients.
+        ys_flat = _scipy_solve(
+            f_flat, y0_flat, ts, rtol=rtol, atol=atol, scipy_method=scipy_method
+        )
+        stats = dict(nfe=jnp.asarray(-1, jnp.int32))
+    elif method in _FIXED:
         ys_flat, nfe = fixed.odeint_fixed(
             f_flat, _FIXED[method], y0_flat, ts, steps_per_interval=steps_per_interval
         )

@@ -39,19 +39,24 @@ def forced(t, y):
 TS = jnp.linspace(0.0, 2.0, 9)
 
 
-@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4", "rk4_classic"])
+@pytest.mark.parametrize(
+    "method", ["euler", "midpoint", "heun2", "heun3", "rk4", "rk4_classic"]
+)
 def test_fixed_methods_solve_exp_decay(method):
     y0 = jnp.array([1.0, 2.0])
     ys = odeint(exp_decay, y0, TS, method=method, steps_per_interval=8)
     expected = np.stack([exp_decay_sol(t, np.asarray(y0)) for t in np.asarray(TS)])
-    tol = {"euler": 2e-2, "midpoint": 1e-3, "rk4": 1e-6, "rk4_classic": 1e-6}
+    tol = {"euler": 2e-2, "midpoint": 1e-3, "heun2": 1e-3, "heun3": 1e-4,
+           "rk4": 1e-6, "rk4_classic": 1e-6}
     np.testing.assert_allclose(
         np.asarray(ys), np.asarray(expected), atol=tol[method]
     )
 
 
 @pytest.mark.parametrize(
-    "method,order", [("euler", 1), ("midpoint", 2), ("rk4", 4), ("rk4_classic", 4)]
+    "method,order",
+    [("euler", 1), ("midpoint", 2), ("heun2", 2), ("heun3", 3),
+     ("rk4", 4), ("rk4_classic", 4)],
 )
 def test_fixed_methods_convergence_order(method, order):
     y0 = jnp.array([1.0])
@@ -130,7 +135,9 @@ def test_grad_through_adams():
 
 
 @pytest.mark.parametrize(
-    "method", ["bosh3", "bosh3_scan", "adaptive_heun", "fehlberg2"]
+    "method",
+    ["bosh3", "bosh3_scan", "adaptive_heun", "fehlberg2",
+     "dopri8", "dopri8_scan"],
 )
 def test_other_adaptive_methods_solve_oscillator(method):
     """torchdiffeq's remaining explicit adaptive zoo (SURVEY.md §2 T3)."""
@@ -144,8 +151,12 @@ def test_other_adaptive_methods_solve_oscillator(method):
     # Low-order pairs control the *embedded* (lower-order) solution while
     # propagating the higher one (local extrapolation), so global error can
     # exceed the tolerance by a modest constant — same as torchdiffeq.
+    # dopri8 takes ~0.7-radian steps here, so the 4th-order dense-output
+    # quartic (same interpolant torchdiffeq uses for dopri8) dominates the
+    # mid-interval error; the scan variant steps exactly onto each output.
     tol = {"bosh3": 1e-4, "bosh3_scan": 1e-4,
-           "adaptive_heun": 2e-4, "fehlberg2": 5e-4}[method]
+           "adaptive_heun": 2e-4, "fehlberg2": 5e-4,
+           "dopri8": 5e-4, "dopri8_scan": 1e-6}[method]
     np.testing.assert_allclose(np.asarray(ys), np.asarray(expected), atol=tol)
     assert int(stats["nfe"]) > 0
 
@@ -178,6 +189,102 @@ def test_grad_through_bosh3_scan():
     g = jax.grad(loss)(k)
     # d/dk exp(-k) = -exp(-k)
     np.testing.assert_allclose(float(g), -np.exp(-0.7), rtol=1e-4)
+
+
+def test_dopri8_tableau_order_conditions():
+    """The PD8(7)13M coefficients satisfy row-sum and quadrature conditions
+    (the full order-8 proof is Prince & Dormand 1981; these linear conditions
+    plus the empirical-order test below catch any transcription error)."""
+    from graph_odenet_tpu.ode.tableaus import DOPRI8
+
+    a, b, c = DOPRI8.a, DOPRI8.b, DOPRI8.c
+    np.testing.assert_allclose(a.sum(axis=1), c, atol=1e-14)
+    b_hat = b - DOPRI8.b_err
+    for k in range(1, 9):
+        np.testing.assert_allclose(
+            (b * c ** (k - 1)).sum(), 1.0 / k, atol=1e-14
+        )
+    for k in range(1, 8):
+        np.testing.assert_allclose(
+            (b_hat * c ** (k - 1)).sum(), 1.0 / k, atol=1e-14
+        )
+    # A few deeper rooted-tree conditions (order 3–5).
+    ac = a @ c
+    for got, want in [
+        (b @ ac, 1 / 6), (b @ (c * ac), 1 / 8), (b @ (a @ c**2), 1 / 12),
+        (b @ (a @ ac), 1 / 24), ((b * ac) @ ac, 1 / 20),
+        (b @ (a @ (a @ ac)), 1 / 120),
+    ]:
+        np.testing.assert_allclose(got, want, atol=1e-14)
+    # Midpoint dense-output weights: continuous-extension conditions at θ=1/2.
+    cm = np.asarray(DOPRI8.c_mid)
+    np.testing.assert_allclose(cm.sum(), 0.5, atol=1e-12)
+    np.testing.assert_allclose((cm * c).sum(), 0.125, atol=1e-12)
+    np.testing.assert_allclose(cm @ ac, 0.5**3 / 6, atol=1e-12)
+
+
+def test_dopri8_empirical_convergence_order():
+    """Fixed-grid runs of the dopri8 tableau on y' = y·cos t converge at
+    ~O(h^8) — the strongest end-to-end check of the stage matrix."""
+    from graph_odenet_tpu.ode import fixed
+    from graph_odenet_tpu.ode.tableaus import DOPRI8
+
+    def f(t, y):
+        return y * jnp.cos(t)
+
+    y0 = jnp.array([1.0], dtype=jnp.float64)
+    ts = jnp.array([0.0, 2.0], dtype=jnp.float64)
+    exact = np.exp(np.sin(2.0))
+    errs = []
+    for n in (4, 8, 16):
+        ys, _ = fixed.odeint_fixed(f, DOPRI8, y0, ts, steps_per_interval=n)
+        errs.append(abs(float(ys[-1, 0]) - exact))
+    rate01 = np.log2(errs[0] / errs[1])
+    rate12 = np.log2(errs[1] / errs[2])
+    assert rate01 > 7.3, errs
+    assert rate12 > 7.3, errs
+
+
+def test_dopri8_fewer_steps_than_dopri5_at_tight_tolerance():
+    """The reason dopri8 exists: at tight tolerances the 8th-order method
+    needs fewer dynamics evaluations than dopri5."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 2 * np.pi])
+    nfe = {}
+    for m in ("dopri5", "dopri8"):
+        _, stats = odeint(
+            oscillator, y0, ts, method=m, rtol=1e-10, atol=1e-12,
+            return_stats=True,
+        )
+        nfe[m] = int(stats["nfe"])
+    assert nfe["dopri8"] < nfe["dopri5"], nfe
+
+
+def test_fixed_adams_is_implicit_adams_alias():
+    """torchdiffeq exposes the ABM predictor-corrector as both
+    ``implicit_adams`` and ``fixed_adams``."""
+    y0 = jnp.array([1.0, 2.0])
+    a = odeint(exp_decay, y0, TS, method="fixed_adams", steps_per_interval=8)
+    b = odeint(exp_decay, y0, TS, method="implicit_adams", steps_per_interval=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scipy_solver_host_fallback():
+    """torchdiffeq's ``scipy_solver`` parity: host-side solve_ivp for
+    cross-validation; eager-only by design."""
+    pytest.importorskip("scipy")
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 2 * np.pi, 20)
+    ys = odeint(
+        oscillator, y0, ts, method="scipy_solver", rtol=1e-8, atol=1e-10
+    )
+    expected = oscillator_sol(np.asarray(ts)).T
+    np.testing.assert_allclose(np.asarray(ys), expected, atol=1e-5)
+
+    with pytest.raises(ValueError, match="scipy_solver"):
+        jax.jit(
+            lambda y: odeint(oscillator, y, ts, method="scipy_solver")
+        )(y0)
 
 
 def test_dopri5_nfe_scales_with_tolerance():
