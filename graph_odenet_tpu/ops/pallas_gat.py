@@ -24,14 +24,19 @@ backward can reconstruct α without segment_max/scatter:
 
 The default backward (``GODE_GAT_BWD=fused``) computes α and dlogit in a
 SECOND Pallas pass over the same receiver-block tiling: the block's
-``g``/``m``/``l``/``β`` rows sit in VMEM, each 128-edge sub-chunk's
-``g[recv]`` rows come from one one-hot MXU matmul (replacing the [E, H·F]
-XLA gather that dominated the XLA backward), and all per-edge quantities
-stay in row layout (lane = edge) so no transposes are needed.  Chunk windows
-of adjacent receiver blocks can overlap by one E_CHUNK; the TPU grid is
+``g``/``m``/``l``/``β`` rows sit in VMEM; each 128-edge sub-chunk's m/l/β
+rows come from one one-hot MXU contraction and its ``g[recv]`` rows from
+another (edge-major, so the per-edge ⟨g, v⟩ multiplies the value chunk in
+the layout it is DMA'd in — no feature-major transpose ever materialises),
+replacing the [E, H·F] XLA gather that dominated the XLA backward.  The
+dWh reduction folds α into the CSC reduce kernel's one-hot, so the
+[E, H·F] α·g product is never materialised either.  Chunk windows of
+adjacent receiver blocks can overlap by one E_CHUNK; the TPU grid is
 sequential, so each block resolves the overlap with a select-merge
 read-modify-write of its first chunk's output tile.  ``GODE_GAT_BWD=xla``
-selects the gather-based fallback.
+selects the gather-based fallback.  (Why not compute α/dlogit in XLA?
+Measured: each [E, 1] XLA gather is dispatch-bound, ~5 ms at 1.4M edges —
+three of them cost more than this whole kernel.)
 """
 
 from __future__ import annotations
@@ -53,7 +58,9 @@ from graph_odenet_tpu.ops.pallas_spmm import (
 )
 
 # Precision tiers (GODE_PRECISION, shared with pallas_spmm):
-#   highest — f32-exact 6-pass MXU matmuls.
+#   highest — f32-exact to roundoff: 3-segment bf16 split when one operand
+#             is an exact 0/1 mask (half the passes of Precision.HIGHEST),
+#             6-pass HIGHEST when both operands are inexact.
 #   bf16x2  — hi/lo bf16 split: 3 passes when both operands are inexact
 #             (probabilities × values; the ~2^-32 lo·lo term is dropped),
 #             2 passes when one operand is an exact 0/1 mask.  ~1e-5 rel.
@@ -89,13 +96,23 @@ def _att_dot(a, b, dn):
 
 
 def _mask_dot(exact, other, dn, *, exact_lhs=True):
-    """Matmul where ``exact`` is a 0/1 mask (exactly representable in bf16)."""
-    if _MODE == "bf16x2":
+    """Matmul where ``exact`` is a 0/1 mask (exactly representable in bf16).
+
+    Only ``other`` needs mantissa splitting: 3 non-overlapping bf16 segments
+    at "highest" (8+8+8 ≥ f32's 24 bits — exact to f32 roundoff at half the
+    passes of a Precision.HIGHEST f32 matmul), 2 at "bf16x2" (~1e-6)."""
+    if _MODE in ("highest", "bf16x2"):
         e16 = exact.astype(jnp.bfloat16)
-        oh, ol = _hilo(other)
-        if exact_lhs:
-            return _dg(e16, oh, dn) + _dg(e16, ol, dn)
-        return _dg(oh, e16, dn) + _dg(ol, e16, dn)
+        hi, lo = _hilo(other)
+        parts = [hi, lo]
+        if _MODE == "highest":
+            r2 = other - hi.astype(jnp.float32) - lo.astype(jnp.float32)
+            parts.append(r2.astype(jnp.bfloat16))
+        acc = None
+        for p in parts:
+            d = _dg(e16, p, dn) if exact_lhs else _dg(p, e16, dn)
+            acc = d if acc is None else acc + d
+        return acc
     a, b = (exact, other) if exact_lhs else (other, exact)
     return jax.lax.dot_general(
         a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
@@ -350,6 +367,24 @@ def _gat_call(
     )(csr.blk_ptr, logits3d, vals3d, csr.rel, dmask3d)
 
 
+def _vals_edge_major(csr: PallasCSR, wh: jax.Array, packed: bool, featp: int):
+    """Gathered sender values in the kernels' edge-major DMA layout:
+    ``[1, E_pad, 128]`` packed / ``[H, E_pad, Fp]`` otherwise.  Shared by
+    forward and backward (the backward computes its per-edge dot edge-major,
+    so no feature-major copy is ever materialised)."""
+    e_pad = csr.senders.shape[0]
+    heads, feat = wh.shape[-2], wh.shape[-1]
+    gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
+    if packed:
+        return jnp.pad(
+            gathered.reshape(e_pad, heads * feat),
+            ((0, 0), (0, 128 - heads * feat)),
+        )[None]                                               # [1, E_pad, 128]
+    return jnp.pad(
+        gathered, ((0, 0), (0, 0), (0, featp - feat))
+    ).transpose(1, 0, 2)                                      # [H, E_pad, Fp]
+
+
 def _fwd_impl(
     csr: PallasCSR, logits: jax.Array, wh: jax.Array, dmask=None
 ):
@@ -361,18 +396,8 @@ def _fwd_impl(
     packed = heads * feat <= 128  # all heads share one 128-lane value plane
     logits3d = _to3d(logits, e_pad)
     dmask3d = None if dmask is None else _to3d(dmask, e_pad)
-    gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
-    if packed:
-        featp = 128
-        vals = jnp.pad(
-            gathered.reshape(e_pad, heads * feat),
-            ((0, 0), (0, 128 - heads * feat)),
-        )[None]                                               # [1, E_pad, 128]
-    else:
-        featp = -(-feat // 128) * 128  # lane-pad per-head features
-        vals = jnp.pad(
-            gathered, ((0, 0), (0, 0), (0, featp - feat))
-        ).transpose(1, 0, 2)                                  # [H, E_pad, Fp]
+    featp = 128 if packed else -(-feat // 128) * 128
+    vals = _vals_edge_major(csr, wh, packed, featp)
     out, m, l = _gat_call(
         csr, logits3d, vals, dmask3d, heads, featp, feat, packed,
         interpret=not _is_tpu(),
@@ -424,7 +449,10 @@ def gat_aggregate_pallas_dropout(
 def _gat_bwd_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
-    vals_t_hbm,         # f32 ANY/HBM [HV, Fp, E_pad]  feature-major v=Wh[send]
+    vals_hbm,           # f32 ANY/HBM [HV, E_pad, Fp]  edge-major v=Wh[send]
+                        #   (same layout the forward kernel streams — the
+                        #   per-edge dot is computed edge-major below, so no
+                        #   feature-major transpose ever materialises in HBM)
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
     dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
     g_blk,              # VMEM [BLOCK_ROWS, hf]   upstream cotangent rows
@@ -432,7 +460,7 @@ def _gat_bwd_kernel(
     dl_hbm,             # out ANY [H, E_pad/128, 128]  dlogits (row layout)
     al_hbm,             # out ANY [H, E_pad/128, 128]  α·D     (row layout)
     logit_scr,          # VMEM [2, H, SUBS, 128]
-    valt_scr,           # VMEM [2, HV, Fp, E_CHUNK]
+    val_scr,            # VMEM [2, HV, E_CHUNK, Fp]
     rel_scr,            # VMEM [2, SUBS, 128]
     dmask_scr,          # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
     dl_scr,             # VMEM [2, H, SUBS, 128]
@@ -449,6 +477,15 @@ def _gat_bwd_kernel(
     packed: bool,
     use_dmask: bool,
 ):
+    """α and dlogit per edge, in one pass over the receiver-block tiling.
+
+    Everything per-edge stays in row layout (lane = edge): m/l/β rows come
+    from one one-hot MXU contraction per 128-edge sub-chunk, g[recv] rows
+    from another (edge-major, so the per-edge ⟨g, v⟩ multiplies the value
+    chunk in the layout it is DMA'd in), and the per-head dots land
+    row-major by contracting the feature axis against head_sel.  XLA-side
+    per-edge gathers are dispatch-bound on TPU (~5 ms per [E, 1] gather at
+    1.4M edges — measured), which is why α is NOT reconstructed outside."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -480,8 +517,8 @@ def _gat_bwd_kernel(
         for v in range(n_val):
             copies.append(
                 pltpu.make_async_copy(
-                    vals_t_hbm.at[v, :, pl.ds(start, E_CHUNK)],
-                    valt_scr.at[slot, v],
+                    vals_hbm.at[v, pl.ds(start, E_CHUNK), :],
+                    val_scr.at[slot, v],
                     in_sems.at[slot, 1 + heads + v],
                 )
             )
@@ -538,27 +575,31 @@ def _gat_bwd_kernel(
             onehot = (
                 (rows == rel_all[sub][None, :]) & valid
             ).astype(jnp.float32)                         # [R, 128e]
-            # Row-layout stats/g rows for this sub's 128 edges — the one-hot
-            # contraction over R replaces three XLA gathers.
-            dn0 = (((0,), (0,)), ((), ()))
+            # Row-layout stats for this sub's 128 edges.
             mlb_rows = _mask_dot(
-                onehot, mlb_blk[:], dn0, exact_lhs=False
+                onehot, mlb_blk[:], (((0,), (0,)), ((), ())), exact_lhs=False
             )                                             # [128mlb, 128e]
-            g_t = _mask_dot(
-                onehot, g_blk[:], dn0, exact_lhs=False
-            )                                             # [hf, 128e]
+            # Edge-major g[recv] rows (contract R the other way) so the
+            # per-edge ⟨g, v⟩ multiplies the value chunk in the layout it is
+            # DMA'd in — no feature-major transpose anywhere.
+            g_em = _mask_dot(
+                onehot, g_blk[:], (((0,), (0,)), ((), ())), exact_lhs=True
+            )                                             # [128e, hf]
             if packed:
-                v_t = valt_scr[slot, 0, :, pl.ds(sub * 128, 128)]
+                v_em = val_scr[slot, 0, pl.ds(sub * 128, 128), :]
             else:
-                v_t = jnp.concatenate(
+                v_em = jnp.concatenate(
                     [
-                        valt_scr[slot, v, :, pl.ds(sub * 128, 128)]
+                        val_scr[slot, v, pl.ds(sub * 128, 128), :]
                         for v in range(n_val)
                     ],
-                    axis=0,
-                )                                         # [hf, 128e]
+                    axis=1,
+                )                                         # [128e, hf]
+            # dots[h, e] = Σ_{l∈head h} g_em[e, l]·v_em[e, l]: contract the
+            # feature axis against head_sel — lands row-major directly.
             dots = _mask_dot(
-                head_sel, g_t * v_t, dn0, exact_lhs=True
+                head_sel, g_em * v_em, (((0,), (1,)), ((), ())),
+                exact_lhs=True,
             )                                             # [H, 128e]
             for h in range(heads):
                 le = logit_scr[slot, h][sub][None, :]     # [1, 128e]
@@ -622,7 +663,7 @@ def _gat_bwd_kernel(
 
 
 def _gat_bwd_call(
-    csr: PallasCSR, logits3d, vals_t, dmask3d, g_blk, mlb_blk, heads, featp,
+    csr: PallasCSR, logits3d, vals, dmask3d, g_blk, mlb_blk, heads, featp,
     true_feat, packed, *, interpret,
 ):
     import jax.experimental.pallas as pl
@@ -656,7 +697,7 @@ def _gat_bwd_call(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
-            pltpu.VMEM((2, n_val, 128 if packed else featp, E_CHUNK),
+            pltpu.VMEM((2, n_val, E_CHUNK, 128 if packed else featp),
                        jnp.float32),
             pltpu.VMEM((2, SUBS, 128), jnp.int32),
             pltpu.VMEM(
@@ -686,11 +727,31 @@ def _gat_bwd_call(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(csr.blk_ptr, logits3d, vals_t, csr.rel, dmask3d, g_blk, mlb_blk)
+    )(csr.blk_ptr, logits3d, vals, csr.rel, dmask3d, g_blk, mlb_blk)
+
+
+def _dwh_csc(csr, alpha, g, heads, feat):
+    """dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
+    the CSC view.  α (already α·D under dropout) is permuted as [E, H]
+    (t_perm) and folded into the reduction one-hot INSIDE the kernel, so the
+    [E, H·F] α·g product is never materialised in HBM; g rows are gathered
+    by t_receivers (the one unavoidable XLA gather of the backward)."""
+    from graph_odenet_tpu.ops.pallas_spmm import _segment_reduce_weighted
+
+    e_pad = csr.senders.shape[0]
+    alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)              # [E_pad, H]
+    gv_csc = jnp.take(g, csr.t_receivers, axis=0).reshape(
+        e_pad, heads * feat
+    )                                                            # [E_pad,H·F]
+    return _segment_reduce_weighted(
+        gv_csc, _to3d(alpha_csc, e_pad), csr.t_rel, csr.t_blk_ptr,
+        csr.n_blocks, heads=heads, interpret=not _is_tpu(),
+    )[: csr.n_node_pad].reshape(csr.n_node_pad, heads, feat)
 
 
 def _bwd_fused(csr, res, g, dmask=None):
-    """Fused α/dlogit backward — one Pallas pass, then the CSC reduction."""
+    """Fused α/dlogit backward — one Pallas pass, then the weighted CSC
+    reduction (α folded into the reduce kernel's one-hot)."""
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
     e_pad = csr.senders.shape[0]
@@ -703,18 +764,9 @@ def _bwd_fused(csr, res, g, dmask=None):
 
     logits3d = _to3d(logits, e_pad)
     dmask3d = None if dmask is None else _to3d(dmask, e_pad)
-    # Recompute the sender gather (same op the XLA path pays) but store it
-    # feature-major so the kernel's per-chunk value DMA lands lane=edge.
-    gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
-    if packed:
-        vals_t = jnp.pad(
-            gathered.reshape(e_pad, heads * feat),
-            ((0, 0), (0, 128 - heads * feat)),
-        ).T[None]                                        # [1, 128, E_pad]
-    else:
-        vals_t = jnp.pad(
-            gathered, ((0, 0), (0, 0), (0, featp - feat))
-        ).transpose(1, 2, 0)                             # [H, Fp, E_pad]
+    # Recompute the sender gather (same op the XLA path pays), in the same
+    # edge-major layout the forward streams — the kernel's dot is edge-major.
+    vals = _vals_edge_major(csr, wh, packed, featp)
 
     def pad_rows(a):
         return jnp.pad(a, ((0, nb_rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
@@ -737,20 +789,12 @@ def _bwd_fused(csr, res, g, dmask=None):
     )
 
     dl3, al3 = _gat_bwd_call(
-        csr, logits3d, vals_t, dmask3d, g_blk, mlb_blk, heads, featp, feat,
+        csr, logits3d, vals, dmask3d, g_blk, mlb_blk, heads, featp, feat,
         packed, interpret=not _is_tpu(),
     )
     dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
     alpha = al3.reshape(heads, e_pad).T             # [E_pad, H] (α·D if drop)
-
-    # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — Âᵀ reduction on the CSC view.
-    alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)
-    gv_csc = jnp.take(g, csr.t_receivers, axis=0)
-    msgs_csc = (alpha_csc[..., None] * gv_csc).reshape(e_pad, heads * feat)
-    dwh = _segment_reduce(
-        msgs_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
-        interpret=not _is_tpu(),
-    )[:n].reshape(n, heads, feat)
+    dwh = _dwh_csc(csr, alpha, g, heads, feat)
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 
 
@@ -760,6 +804,9 @@ def _gat_fwd(csr, logits, wh):
 
 
 def _bwd_xla(csr, res, g, dmask=None):
+    """Gather-based backward fallback: α from the saved softmax statistics
+    and the per-edge dots via [E, H·F] XLA gathers — the costs the fused
+    kernel's one-hot MXU contractions avoid."""
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
     e_pad = csr.senders.shape[0]
@@ -770,14 +817,12 @@ def _bwd_xla(csr, res, g, dmask=None):
         logits.astype(jnp.float32), ((0, e_pad - e_orig), (0, 0))
     )
 
-    # α from the saved softmax statistics — gathers only, no segment ops.
     alpha = jnp.where(
         emask,
         jnp.exp(logits_p - jnp.take(m, csr.receivers, axis=0))
         / jnp.take(l, csr.receivers, axis=0),
         0.0,
     )                                                            # [E_pad, H]
-
     gv = jnp.take(g, csr.receivers, axis=0)                      # [E_pad,H,F]
     v = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)    # [E_pad,H,F]
     dot = jnp.sum(gv * v, axis=-1)                               # [E_pad, H]
@@ -791,30 +836,12 @@ def _bwd_xla(csr, res, g, dmask=None):
     dlogits = jnp.where(emask, dlogits, 0.0)[:e_orig]
     if dmask is not None:
         alpha = alpha * d_p        # the CSC dWh pass reduces α·D coefficients
-
-    # dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
-    # the CSC view.  Build the messages directly in CSC order: permute only
-    # the [E, H] α (t_perm) and gather g rows by t_receivers — avoids
-    # permuting a full [E, H·F] array (the dominant bwd HBM cost).
-    alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)              # [E_pad, H]
-    gv_csc = jnp.take(g, csr.t_receivers, axis=0)                # [E_pad,H,F]
-    msgs_csc = (alpha_csc[..., None] * gv_csc).reshape(
-        alpha.shape[0], heads * feat
-    )
-    dwh = _segment_reduce(
-        msgs_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
-        interpret=not _is_tpu(),
-    )[: csr.n_node_pad].reshape(csr.n_node_pad, heads, feat)
-
+    dwh = _dwh_csc(csr, alpha, g, heads, feat)
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 
 
 def _use_fused(heads):
-    return (
-        os.environ.get("GODE_GAT_BWD", "fused").lower() != "xla"
-        # mlb packing needs [m|l|beta] to fit one 128-lane block.
-        and 3 * heads <= 128
-    )
+    return os.environ.get("GODE_GAT_BWD", "fused").lower() != "xla"
 
 
 def _gat_bwd(csr, res, g):

@@ -47,12 +47,12 @@ E_CHUNK = 1024       # edges per inner DMA chunk; starts stay E_CHUNK-aligned
                      # because the [E/128, 128] i32 rel rows are (8,128)-tiled
 
 # MXU precision for the one-hot reduction matmuls — the main speed knob
-# (the kernel is MXU-pass-bound):
-#   "highest" (default): f32-exact vs the segment reference (6 bf16 passes).
-#   "bf16x2":  the one-hot is exact in bf16, so splitting the messages into
-#              hi/lo bf16 halves and summing two single-pass matmuls in the
-#              f32 accumulator keeps ~16 mantissa bits (~1e-6 relative) at
-#              1/3 the MXU passes of "highest".
+# (the kernel is MXU-pass-bound).  The one-hot side is exact in bf16, so
+# only the message operand is split into bf16 mantissa segments:
+#   "highest" (default): 3 segments (8+8+8 ≥ f32's 24 mantissa bits) —
+#              f32-exact to roundoff at HALF the MXU passes of a
+#              Precision.HIGHEST f32 matmul (which must split both sides).
+#   "bf16x2":  2 segments, ~1e-6 relative, 2 passes.
 #   "default": single bf16 pass — ~1e-3 relative rounding, idiomatic for
 #              bf16 training runs.
 _MODE = os.environ.get("GODE_PRECISION", "highest").lower()
@@ -235,28 +235,38 @@ def _segment_reduce_kernel(
 
         def reduce_dot(mask, m):
             """One-hot segment reduction matmul at the selected precision."""
-            if _MODE == "bf16x2" and m.dtype == jnp.float32:
+            if _MODE in ("highest", "bf16x2") and m.dtype == jnp.float32:
+                # The one-hot is exact in bf16, so only the messages need
+                # splitting.  hi/mid/lo are three non-overlapping ≤8-bit
+                # mantissa segments (8+8+8 ≥ f32's 24), so at "highest" the
+                # 3-pass sum reproduces the f32 product to f32 roundoff —
+                # half the passes of a Precision.HIGHEST f32 matmul (6).
+                # "bf16x2" drops the lo segment: 2 passes, ~1e-6 relative.
                 oh = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
                 hi = m.astype(jnp.bfloat16)
-                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                return jax.lax.dot_general(
-                    oh, hi, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    oh, lo, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                )
+                r1 = m - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                parts = [hi, mid]
+                if _MODE == "highest":
+                    parts.append((r1 - mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    ))
+                acc = None
+                for p in parts:
+                    d = jax.lax.dot_general(
+                        oh, p, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = d if acc is None else acc + d
+                return acc
             oh = jnp.where(mask, 1.0, 0.0).astype(m.dtype)
             # NOTE: per-operand tuple precision (DEFAULT, HIGHEST) hangs the
-            # Mosaic remote compiler on this toolchain — keep it symmetric.
-            # bf16 operands are single-pass regardless; HIGHEST on bf16
-            # crashes the Mosaic compiler, so pin DEFAULT there.
-            prec = _PRECISION if m.dtype == jnp.float32 else (
-                jax.lax.Precision.DEFAULT
-            )
+            # Mosaic remote compiler on this toolchain — keep it symmetric;
+            # bf16 operands are single-pass regardless.
             return jax.lax.dot_general(
                 oh, m, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         if _WIDE:
