@@ -29,8 +29,9 @@ rows come from one one-hot MXU contraction and its ``g[recv]`` rows from
 another (edge-major, so the per-edge ⟨g, v⟩ multiplies the value chunk in
 the layout it is DMA'd in — no feature-major transpose ever materialises),
 replacing the [E, H·F] XLA gather that dominated the XLA backward.  The
-dWh reduction folds α into the CSC reduce kernel's one-hot, so the
-[E, H·F] α·g product is never materialised either.  Chunk windows of
+dWh reduction folds α into the g[recv] gather (fused elementwise consumer,
+no extra HBM round-trip) and reduces on the CSC view with the plain
+``pallas_spmm._segment_reduce`` one-hot kernel.  Chunk windows of
 adjacent receiver blocks can overlap by one E_CHUNK; the TPU grid is
 sequential, so each block resolves the overlap with a select-merge
 read-modify-write of its first chunk's output tile.  ``GODE_GAT_BWD=xla``
@@ -732,20 +733,23 @@ def _gat_bwd_call(
 
 def _dwh_csc(csr, alpha, g, heads, feat):
     """dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
-    the CSC view.  α (already α·D under dropout) is permuted as [E, H]
-    (t_perm) and folded into the reduction one-hot INSIDE the kernel, so the
-    [E, H·F] α·g product is never materialised in HBM; g rows are gathered
-    by t_receivers (the one unavoidable XLA gather of the backward)."""
-    from graph_odenet_tpu.ops.pallas_spmm import _segment_reduce_weighted
-
+    the CSC view.  α (already α·D under dropout) is permuted to CSC edge
+    order (t_perm) and folded into the g[recv] gather as a fused elementwise
+    consumer — XLA emits one gather+scale, so the α·g product costs no HBM
+    round-trip beyond the gather output the reduce kernel streams anyway
+    (the one unavoidable XLA gather of the backward).  The reduction itself
+    is the plain CSC one-hot MXU kernel (``pallas_spmm._segment_reduce``):
+    scaling in-kernel instead was measured strictly worse — it adds an α DMA
+    stream plus a transpose matmul per 128-edge sub-chunk while saving no
+    bandwidth."""
     e_pad = csr.senders.shape[0]
     alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)              # [E_pad, H]
-    gv_csc = jnp.take(g, csr.t_receivers, axis=0).reshape(
-        e_pad, heads * feat
-    )                                                            # [E_pad,H·F]
-    return _segment_reduce_weighted(
-        gv_csc, _to3d(alpha_csc, e_pad), csr.t_rel, csr.t_blk_ptr,
-        csr.n_blocks, heads=heads, interpret=not _is_tpu(),
+    gv_csc = (
+        jnp.take(g, csr.t_receivers, axis=0) * alpha_csc[:, :, None]
+    ).reshape(e_pad, heads * feat)                               # [E_pad,H·F]
+    return _segment_reduce(
+        gv_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
+        interpret=not _is_tpu(),
     )[: csr.n_node_pad].reshape(csr.n_node_pad, heads, feat)
 
 
