@@ -243,6 +243,7 @@ def scaling_bench(n_devices=None, n_nodes=8_192, deg=16, feat=128, iters=10):
         t = _time(lambda p: step(p, x_s, y_s, w_s)[0], params, iters=iters)
         results[nd] = t
     eff = results[1] / (results[n_devices])  # >1 means strong-scaling win
+    platform = jax.devices()[0].platform
     return dict(
         n_devices=n_devices,
         t1_ms=results[1] * 1e3,
@@ -250,4 +251,8 @@ def scaling_bench(n_devices=None, n_nodes=8_192, deg=16, feat=128, iters=10):
         speedup=results[1] / results[n_devices],
         efficiency=eff / n_devices,
         n_edge=int(deg * n_nodes),
+        platform=platform,
+        # N virtual CPU devices share one socket: timings there validate the
+        # harness only; the ≥80% BASELINE target is judged on a real slice.
+        harness_only=platform == "cpu",
     )

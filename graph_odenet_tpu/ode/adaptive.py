@@ -219,11 +219,18 @@ def odeint_adaptive(
 
         s = jax.lax.while_loop(cond, body, state._replace(i=jnp.asarray(0, jnp.int32)))
         y_t = _interp_eval(s.coeffs, s.last_t, s.t, t_target)
-        return s, y_t
+        return s, (y_t, s.t >= t_target)
 
-    final, ys_tail = jax.lax.scan(per_target, init, ts[1:])
+    final, (ys_tail, reached) = jax.lax.scan(per_target, init, ts[1:])
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
-    stats = dict(nfe=final.nfe, n_accept=final.n_accept, n_reject=final.n_reject)
+    # Honesty flags (torchdiffeq raises on step exhaustion; under jit we
+    # report instead): success=False means some interval hit ``max_steps``
+    # before reaching its target time and the corresponding ys rows are
+    # extrapolated from the last accepted step — do not trust them.
+    stats = dict(
+        nfe=final.nfe, n_accept=final.n_accept, n_reject=final.n_reject,
+        success=jnp.all(reached), t_reached=final.t,
+    )
     return ys, stats
 
 
@@ -283,12 +290,19 @@ def odeint_adaptive_scan(
         (t, y, f, dt, facold, _, nfe), _ = jax.lax.scan(
             step, inner0, None, length=max_steps_per_interval
         )
-        return (t, y, f, dt, facold, nfe), y
+        return (t, y, f, dt, facold, nfe), (y, t >= t_target)
 
     carry0 = (t0, y0, f0, dt0, jnp.asarray(1e-4, dtype), nfe0)
-    (_, _, _, _, _, nfe), ys_tail = jax.lax.scan(per_target, carry0, ts[1:])
+    (t_fin, _, _, _, _, nfe), (ys_tail, reached) = jax.lax.scan(
+        per_target, carry0, ts[1:]
+    )
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
-    stats = dict(nfe=nfe, n_accept=jnp.asarray(-1), n_reject=jnp.asarray(-1))
+    # success=False: an interval ran out of ``max_steps_per_interval``
+    # attempts before reaching its target time (ys row = last accepted y).
+    stats = dict(
+        nfe=nfe, n_accept=jnp.asarray(-1), n_reject=jnp.asarray(-1),
+        success=jnp.all(reached), t_reached=t_fin,
+    )
     return ys, stats
 
 

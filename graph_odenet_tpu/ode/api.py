@@ -22,8 +22,10 @@ Method → differentiability:
                                            use the ``*_scan`` variant or
                                            odeint_adjoint for reverse-mode
   dopri5_scan / dopri8_scan / …_scan       reverse-mode AD (bounded scan)
-  scipy_solver                             host-side solve_ivp (eager-only
-                                           validation path, forward only)
+  scipy_solver                             host-side solve_ivp via
+                                           jax.pure_callback (jit/vmap-
+                                           compatible validation path,
+                                           forward only)
 
 ``odeint_adjoint`` (SURVEY.md §2 T4) wraps any method with the O(1)-memory
 continuous adjoint.
@@ -80,31 +82,42 @@ def _ravel_problem(func, y0, args):
     return y0_flat, unravel, f_flat
 
 
-def _scipy_solve(f_flat, y0_flat, ts, *, rtol, atol, scipy_method):
-    """Host-side solve_ivp on the ravelled problem (eager only)."""
-    if isinstance(y0_flat, jax.core.Tracer) or isinstance(ts, jax.core.Tracer):
-        raise ValueError(
-            "method='scipy_solver' is a host-side validation path and cannot "
-            "run under jit/grad; call it eagerly or pick an on-device method."
-        )
+def _scipy_solve(func, unravel, y0_flat, ts, args, *, rtol, atol, scipy_method):
+    """Host-side solve_ivp, exposed through ``jax.pure_callback``.
+
+    Parity: torchdiffeq's ``ScipyWrapperODESolver``.  The callback makes the
+    path compose with jit/vmap (each solve syncs to host — a validation
+    tool, not a production path).  Traced values the dynamics depends on
+    must be threaded through ``*args`` (anything merely closed over by
+    ``func`` would leak a tracer into the host callback).  Forward-only.
+    """
     import numpy as np
-    from scipy.integrate import solve_ivp
 
     dtype = y0_flat.dtype
+    args_flat, args_unravel = ravel_pytree(args)
 
-    def rhs(t, y):
-        return np.asarray(
-            f_flat(jnp.asarray(t, dtype), jnp.asarray(y, dtype)), np.float64
+    def host(y0_np, ts_np, args_np):
+        from scipy.integrate import solve_ivp
+
+        args_c = args_unravel(jnp.asarray(args_np))
+
+        def rhs(t, y):
+            dy = func(jnp.asarray(t, dtype), unravel(jnp.asarray(y, dtype)), *args_c)
+            return np.asarray(ravel_pytree(dy)[0], np.float64)
+
+        ts64 = np.asarray(ts_np, np.float64)
+        sol = solve_ivp(
+            rhs, (ts64[0], ts64[-1]), np.asarray(y0_np, np.float64),
+            t_eval=ts64, method=scipy_method, rtol=rtol, atol=atol,
         )
+        if not sol.success:  # pragma: no cover - scipy failure surface
+            raise RuntimeError(f"scipy solve_ivp failed: {sol.message}")
+        return np.asarray(sol.y.T, dtype)
 
-    ts_np = np.asarray(ts, np.float64)
-    sol = solve_ivp(
-        rhs, (ts_np[0], ts_np[-1]), np.asarray(y0_flat, np.float64),
-        t_eval=ts_np, method=scipy_method, rtol=rtol, atol=atol,
+    out_sd = jax.ShapeDtypeStruct((ts.shape[0], y0_flat.shape[0]), dtype)
+    return jax.pure_callback(
+        host, out_sd, y0_flat, ts, args_flat, vmap_method="sequential"
     )
-    if not sol.success:  # pragma: no cover - scipy failure surface
-        raise RuntimeError(f"scipy solve_ivp failed: {sol.message}")
-    return jnp.asarray(sol.y.T, dtype)
 
 
 def odeint(
@@ -132,40 +145,33 @@ def odeint(
     ts = ts.astype(y0_flat.dtype)
 
     # Reverse-time integration (torchdiffeq supports decreasing t; the
-    # adaptive solvers here require an increasing grid): substitute s = −t,
-    # dy/ds = −f(−s, y).  Only decidable for concrete ts — traced decreasing
-    # grids must be pre-transformed by the caller the same way.
-    if ts.shape[0] >= 2 and not isinstance(ts, jax.core.Tracer):
-        import numpy as _np
+    # on-device solvers here require an increasing grid): substitute
+    # s = d·t with d = sign(t_end − t_0), giving dy/ds = d·f(d·s, y) over
+    # the increasing grid d·ts.  For concrete ts the transform applies
+    # only when actually decreasing (zero overhead on the common path);
+    # for traced ts the direction is a traced scalar and the transform
+    # applies unconditionally — d = +1 reduces to the identity, so traced
+    # decreasing grids are handled correctly instead of silently
+    # producing garbage.  scipy_solver is exempt: solve_ivp integrates
+    # decreasing t_eval natively.
+    if ts.shape[0] >= 2 and method != "scipy_solver":
+        if isinstance(ts, jax.core.Tracer):
+            direction = jnp.where(ts[-1] >= ts[0], 1.0, -1.0).astype(ts.dtype)
+            needs_flip = True
+        else:
+            import numpy as _np
 
-        ts_host = _np.asarray(ts)
-        if bool(ts_host[1] < ts_host[0]):
-            rev = odeint(
-                lambda s, y: jax.tree_util.tree_map(
-                    jnp.negative, func(-s, y, *args)
-                ),
-                y0,
-                -ts,
-                method=method,
-                rtol=rtol,
-                atol=atol,
-                steps_per_interval=steps_per_interval,
-                max_steps=max_steps,
-                max_steps_per_interval=max_steps_per_interval,
-                first_step=first_step,
-                return_stats=return_stats,
-                scipy_method=scipy_method,
-            )
-            return rev
+            needs_flip = bool(_np.asarray(ts)[1] < _np.asarray(ts)[0])
+            direction = jnp.asarray(-1.0, ts.dtype)
+        if needs_flip:
+            inner_f = f_flat
+            f_flat = lambda s, y: direction * inner_f(direction * s, y)
+            ts = direction * ts
 
     if method == "scipy_solver":
-        # torchdiffeq's ``ScipyWrapperODESolver`` parity: host-side
-        # scipy.integrate.solve_ivp, exposed through ``jax.pure_callback`` so
-        # it composes with jit (each call syncs to host — validation tool,
-        # not a production path).  Forward-only, like the reference: use
-        # ``odeint_adjoint`` for gradients.
         ys_flat = _scipy_solve(
-            f_flat, y0_flat, ts, rtol=rtol, atol=atol, scipy_method=scipy_method
+            func, unravel, y0_flat, ts, args,
+            rtol=rtol, atol=atol, scipy_method=scipy_method,
         )
         stats = dict(nfe=jnp.asarray(-1, jnp.int32))
     elif method in _FIXED:

@@ -844,13 +844,12 @@ def _bwd_xla(csr, res, g, dmask=None):
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 
 
-def _use_fused(heads):
+def _use_fused():
     return os.environ.get("GODE_GAT_BWD", "fused").lower() != "xla"
 
 
 def _gat_bwd(csr, res, g):
-    heads = res[1].shape[-2]
-    return (_bwd_fused if _use_fused(heads) else _bwd_xla)(csr, res, g)
+    return (_bwd_fused if _use_fused() else _bwd_xla)(csr, res, g)
 
 
 gat_aggregate_pallas.defvjp(_gat_fwd, _gat_bwd)
@@ -863,8 +862,7 @@ def _gat_drop_fwd(csr, logits, wh, dmask):
 
 def _gat_drop_bwd(csr, res, g):
     *res5, dmask = res
-    heads = res5[1].shape[-2]
-    fn = _bwd_fused if _use_fused(heads) else _bwd_xla
+    fn = _bwd_fused if _use_fused() else _bwd_xla
     dlogits, dwh = fn(csr, tuple(res5), g, dmask)
     return dlogits, dwh, jnp.zeros_like(dmask)
 

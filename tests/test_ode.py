@@ -271,7 +271,8 @@ def test_fixed_adams_is_implicit_adams_alias():
 
 def test_scipy_solver_host_fallback():
     """torchdiffeq's ``scipy_solver`` parity: host-side solve_ivp for
-    cross-validation; eager-only by design."""
+    cross-validation, routed through ``jax.pure_callback`` so it composes
+    with jit."""
     pytest.importorskip("scipy")
     y0 = jnp.array([1.0, 0.0])
     ts = jnp.linspace(0.0, 2 * np.pi, 20)
@@ -281,10 +282,32 @@ def test_scipy_solver_host_fallback():
     expected = oscillator_sol(np.asarray(ts)).T
     np.testing.assert_allclose(np.asarray(ys), expected, atol=1e-5)
 
-    with pytest.raises(ValueError, match="scipy_solver"):
-        jax.jit(
-            lambda y: odeint(oscillator, y, ts, method="scipy_solver")
-        )(y0)
+    ys_jit = jax.jit(
+        lambda y: odeint(
+            oscillator, y, ts, method="scipy_solver", rtol=1e-8, atol=1e-10
+        )
+    )(y0)
+    np.testing.assert_allclose(np.asarray(ys_jit), expected, atol=1e-5)
+
+
+def test_scipy_solver_traced_args_threading():
+    """Traced values the dynamics needs must flow through ``*args`` — the
+    callback ravels them to the host (api.py ``_scipy_solve``)."""
+    pytest.importorskip("scipy")
+    y0 = jnp.array([1.0, 2.0])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def dyn(t, y, rate):
+        return -rate * y
+
+    @jax.jit
+    def solve(rate):
+        return odeint(dyn, y0, ts, rate, method="scipy_solver",
+                      rtol=1e-8, atol=1e-10)
+
+    ys = solve(jnp.asarray(0.5))
+    expected = np.stack([exp_decay_sol(t, np.asarray(y0)) for t in np.asarray(ts)])
+    np.testing.assert_allclose(np.asarray(ys), expected, atol=1e-6)
 
 
 def test_dopri5_nfe_scales_with_tolerance():
@@ -458,3 +481,43 @@ def test_reverse_time_integration():
         ys = odeint(lambda t, y: -y, y0, ts, method=method,
                     steps_per_interval=16, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(float(ys[-1, 0]), np.e, rtol=1e-4)
+
+
+def test_reverse_time_traced_grid():
+    """A *traced* decreasing grid (ts passed through jit) must integrate
+    correctly — the direction transform is applied as a traced scalar
+    (api.py), not decided by host inspection."""
+    y0 = jnp.array([1.0])
+
+    for method in ("rk4", "dopri5", "dopri5_scan"):
+        @jax.jit
+        def solve(ts):
+            return odeint(lambda t, y: -y, y0, ts, method=method,
+                          steps_per_interval=16, rtol=1e-8, atol=1e-10)
+
+        back = solve(jnp.array([1.0, 0.0]))
+        np.testing.assert_allclose(float(back[-1, 0]), np.e, rtol=1e-4)
+        # Same jitted program, increasing grid: direction = +1 identity.
+        fwd = solve(jnp.array([0.0, 1.0]))
+        np.testing.assert_allclose(float(fwd[-1, 0]), 1 / np.e, rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "dopri5_scan"])
+def test_adaptive_exhaustion_reported(method):
+    """When the step budget runs out short of a target time the stats must
+    say so (torchdiffeq raises; under jit we report success/t_reached)."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 2 * np.pi])
+    kw = dict(rtol=1e-9, atol=1e-12, return_stats=True)
+    lim = dict(max_steps=3) if method == "dopri5" else dict(
+        max_steps_per_interval=3
+    )
+    _, stats = odeint(oscillator, y0, ts, method=method, **kw, **lim)
+    assert not bool(stats["success"])
+    assert float(stats["t_reached"]) < float(ts[-1])
+
+    # Generous budget: the same solve succeeds and reaches the end.
+    _, ok = odeint(oscillator, y0, ts, method=method, **kw,
+                   max_steps_per_interval=2048)
+    assert bool(ok["success"])
+    assert float(ok["t_reached"]) >= float(ts[-1]) - 1e-6
