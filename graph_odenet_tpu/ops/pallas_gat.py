@@ -29,9 +29,9 @@ rows come from one one-hot MXU contraction and its ``g[recv]`` rows from
 another (edge-major, so the per-edge ⟨g, v⟩ multiplies the value chunk in
 the layout it is DMA'd in — no feature-major transpose ever materialises),
 replacing the [E, H·F] XLA gather that dominated the XLA backward.  The
-dWh reduction folds α into the g[recv] gather (fused elementwise consumer,
-no extra HBM round-trip) and reduces on the CSC view with the plain
-``pallas_spmm._segment_reduce`` one-hot kernel.  Chunk windows of
+dWh reduction streams α into ``pallas_spmm._segment_reduce_weighted`` on
+the CSC view, where it is expanded onto the value lanes in-VMEM (one
+K=heads MXU contraction per 128-edge sub-chunk).  Chunk windows of
 adjacent receiver blocks can overlap by one E_CHUNK; the TPU grid is
 sequential, so each block resolves the overlap with a select-merge
 read-modify-write of its first chunk's output tile.  ``GODE_GAT_BWD=xla``
@@ -49,13 +49,14 @@ import jax
 import jax.numpy as jnp
 
 from graph_odenet_tpu.ops.pallas_spmm import (
+    _segment_reduce,
     BLOCK_ROWS,
     E_CHUNK,
     SUBS,
     _MODE,
     PallasCSR,
     _is_tpu,
-    _segment_reduce,
+    _segment_reduce_weighted,
 )
 
 # Precision tiers (GODE_PRECISION, shared with pallas_spmm):
@@ -372,18 +373,26 @@ def _vals_edge_major(csr: PallasCSR, wh: jax.Array, packed: bool, featp: int):
     """Gathered sender values in the kernels' edge-major DMA layout:
     ``[1, E_pad, 128]`` packed / ``[H, E_pad, Fp]`` otherwise.  Shared by
     forward and backward (the backward computes its per-edge dot edge-major,
-    so no feature-major copy is ever materialised)."""
-    e_pad = csr.senders.shape[0]
+    so no feature-major copy is ever materialised).
+
+    The gather is shaped so XLA emits its fast form — full 128-lane rows
+    out of a 2-D node-major table (pad BEFORE gathering: the pad touches
+    [N, ·], the gather output needs no post-copy).  The previous
+    gather-then-pad form ([E, H, F] rows then lane pad) measured ~30 ms at
+    arxiv scale vs ~6 ms for this one."""
     heads, feat = wh.shape[-2], wh.shape[-1]
-    gathered = jnp.take(wh.astype(jnp.float32), csr.senders, axis=0)
+    n = wh.shape[0]
     if packed:
-        return jnp.pad(
-            gathered.reshape(e_pad, heads * feat),
+        table = jnp.pad(
+            wh.astype(jnp.float32).reshape(n, heads * feat),
             ((0, 0), (0, 128 - heads * feat)),
-        )[None]                                               # [1, E_pad, 128]
-    return jnp.pad(
-        gathered, ((0, 0), (0, 0), (0, featp - feat))
-    ).transpose(1, 0, 2)                                      # [H, E_pad, Fp]
+        )                                                     # [N, 128]
+        return jnp.take(table, csr.senders, axis=0)[None]     # [1, E_pad, 128]
+    table = jnp.pad(
+        wh.astype(jnp.float32), ((0, 0), (0, 0), (0, featp - feat))
+    ).reshape(n, heads * featp)                               # [N, H·Fp]
+    gathered = jnp.take(table, csr.senders, axis=0)           # [E_pad, H·Fp]
+    return gathered.reshape(-1, heads, featp).transpose(1, 0, 2)
 
 
 def _fwd_impl(
@@ -733,24 +742,37 @@ def _gat_bwd_call(
 
 def _dwh_csc(csr, alpha, g, heads, feat):
     """dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
-    the CSC view.  α (already α·D under dropout) is permuted to CSC edge
-    order (t_perm) and folded into the g[recv] gather as a fused elementwise
-    consumer — XLA emits one gather+scale, so the α·g product costs no HBM
-    round-trip beyond the gather output the reduce kernel streams anyway
-    (the one unavoidable XLA gather of the backward).  The reduction itself
-    is the plain CSC one-hot MXU kernel (``pallas_spmm._segment_reduce``):
-    scaling in-kernel instead was measured strictly worse — it adds an α DMA
-    stream plus a transpose matmul per 128-edge sub-chunk while saving no
-    bandwidth."""
+    the CSC view, with α folded in by the weighted reduce kernel.  The
+    g[recv] gather stays in XLA (the one unavoidable gather of the
+    backward) but in its fast form: full 128-lane rows out of a node-major
+    table padded *before* the gather."""
     e_pad = csr.senders.shape[0]
+    hf = heads * feat
+    lanes = -(-hf // 128) * 128
+    # Node-major pad BEFORE the gather so XLA emits its fast full-lane-row
+    # gather form (same trick as _vals_edge_major; the gather-then-pad form
+    # cost ~30 ms of the backward at arxiv scale).
+    table = jnp.pad(g.reshape(g.shape[0], hf), ((0, 0), (0, lanes - hf)))
+    gv_csc = jnp.take(table, csr.t_receivers, axis=0)            # [E_pad, L]
     alpha_csc = jnp.take(alpha, csr.t_perm, axis=0)              # [E_pad, H]
-    gv_csc = (
-        jnp.take(g, csr.t_receivers, axis=0) * alpha_csc[:, :, None]
-    ).reshape(e_pad, heads * feat)                               # [E_pad,H·F]
-    return _segment_reduce(
-        gv_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
+    if heads == 1:
+        # Single head: the lane expansion is a plain broadcast — XLA fuses
+        # it into the gather's elementwise consumer for free; the weighted
+        # kernel's MXU expansion would be 3 wasted outer-product passes.
+        return _segment_reduce(
+            gv_csc * alpha_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
+            interpret=not _is_tpu(),
+        )[: csr.n_node_pad, :hf].reshape(csr.n_node_pad, heads, feat)
+    # α (already α·D under dropout) permuted to CSC edge order, streamed
+    # into the reduce kernel as [H, E/128, 128] rows and expanded onto the
+    # value lanes in-VMEM (one K=heads MXU contraction per 128-edge
+    # sub-chunk) — no [E, L] scale array in HBM (the XLA-side expand
+    # measured ~12 ms at arxiv scale for 45 MB of information).
+    alpha3d = _to3d(alpha_csc, e_pad)
+    return _segment_reduce_weighted(
+        gv_csc, alpha3d, csr.t_rel, csr.t_blk_ptr, csr.n_blocks, feat,
         interpret=not _is_tpu(),
-    )[: csr.n_node_pad].reshape(csr.n_node_pad, heads, feat)
+    )[: csr.n_node_pad, :hf].reshape(csr.n_node_pad, heads, feat)
 
 
 def _bwd_fused(csr, res, g, dmask=None):

@@ -171,14 +171,21 @@ def _segment_reduce_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
     msgs_hbm,           # ANY/HBM [E_pad, F]
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    alpha_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] per-edge/head scale
+                        #   (dummy [1, 1, 128] when weighted=False)
     out_ref,            # VMEM [BLOCK_ROWS, F]
     msg_scratch,        # VMEM [2, E_CHUNK, F]
     rel_scratch,        # VMEM [2, SUBS, 128] (leading dim = DMA slot)
-    sems,               # DMA sems [2, 2]
+    alpha_scratch,      # VMEM [2, H, SUBS, 128] (or [2, 1, 1, 128] dummy)
+    sems,               # DMA sems [2, 2 (+1)]
+    *,
+    heads: int = 0,     # weighted: number of per-edge scale rows
+    feat: int = 0,      # weighted: lanes [h·feat, (h+1)·feat) scale by α_h
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    weighted = heads > 0
     b = pl.program_id(0)
     p0 = blk_ptr_ref[b]
     p1 = blk_ptr_ref[b + 1]
@@ -196,23 +203,48 @@ def _segment_reduce_kernel(
 
     def issue(k, slot):
         start = dma_start(k)
-        m = pltpu.make_async_copy(
-            msgs_hbm.at[pl.ds(start, E_CHUNK), :],
-            msg_scratch.at[slot],
-            sems.at[slot, 0],
+        copies = [
+            pltpu.make_async_copy(
+                msgs_hbm.at[pl.ds(start, E_CHUNK), :],
+                msg_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                rel_hbm.at[pl.ds(start // 128, SUBS), :],
+                rel_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        ]
+        if weighted:
+            copies.append(
+                pltpu.make_async_copy(
+                    alpha_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                    alpha_scratch.at[slot],
+                    sems.at[slot, 2],
+                )
+            )
+        return copies
+
+    if weighted:
+        # head_expand[h, l] = 1 where value lane l belongs to head h: the
+        # per-edge [H, 128e] scale rows expand onto value lanes with ONE
+        # K=heads MXU contraction per sub-chunk — no [E, F] scale array is
+        # ever materialised in HBM (the XLA-side expand measured ~12 ms at
+        # arxiv scale for 45 MB of actual information).
+        lanes_i = jax.lax.broadcasted_iota(
+            jnp.int32, (heads, msg_scratch.shape[-1]), 1
         )
-        r = pltpu.make_async_copy(
-            rel_hbm.at[pl.ds(start // 128, SUBS), :],
-            rel_scratch.at[slot],
-            sems.at[slot, 1],
+        heads_i = jax.lax.broadcasted_iota(
+            jnp.int32, (heads, msg_scratch.shape[-1]), 0
         )
-        return m, r
+        head_expand = ((lanes_i // feat) == heads_i) & (
+            lanes_i < heads * feat
+        )
 
     @pl.when(n_chunks > 0)
     def _():
-        m0, r0 = issue(0, 0)
-        m0.start()
-        r0.start()
+        for c in issue(0, 0):
+            c.start()
 
     def body(k, acc):
         k = jnp.int32(k)
@@ -221,13 +253,11 @@ def _segment_reduce_kernel(
 
         @pl.when(k + 1 < n_chunks)
         def _():
-            m, r = issue(k + 1, nxt)
-            m.start()
-            r.start()
+            for c in issue(k + 1, nxt):
+                c.start()
 
-        mw, rw = issue(k, slot)  # same descriptors → wait on the sems
-        mw.wait()
-        rw.wait()
+        for c in issue(k, slot):  # same descriptors → wait on the sems
+            c.wait()
 
         rel = rel_scratch[slot]                        # [SUBS, 128] registers
         rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
@@ -269,7 +299,37 @@ def _segment_reduce_kernel(
                 precision=jax.lax.Precision.DEFAULT,
             )
 
-        if _WIDE:
+        def expand_scale(a_sub):
+            """[H, 128e] per-edge/head α → [128e, L] lane scales via one
+            K=heads contraction against the exact 0/1 head_expand (same
+            mantissa-split tiers as reduce_dot)."""
+            exp16 = head_expand.astype(jnp.bfloat16)
+            dn_e = (((0,), (0,)), ((), ()))
+            if _MODE in ("highest", "bf16x2"):
+                hi = a_sub.astype(jnp.bfloat16)
+                r1 = a_sub - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                parts = [hi, mid]
+                if _MODE == "highest":
+                    parts.append(
+                        (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                    )
+                s = None
+                for p in parts:
+                    d = jax.lax.dot_general(
+                        p, exp16, dimension_numbers=dn_e,
+                        preferred_element_type=jnp.float32,
+                    )
+                    s = d if s is None else s + d
+                return s
+            return jax.lax.dot_general(
+                a_sub, head_expand.astype(a_sub.dtype),
+                dimension_numbers=dn_e,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        if _WIDE and not weighted:
             # One (128×E_CHUNK)@(E_CHUNK×F) MXU matmul per chunk: K=E_CHUNK
             # replaces SUBS small ops (small-matmul issue overhead dominates
             # the unrolled path).  The wide one-hot is built by concatenating
@@ -293,9 +353,11 @@ def _segment_reduce_kernel(
                 + dma_start(k) + sub * 128
             )
             valid = (e_idx >= p0) & (e_idx < p1)               # [1, 128]
+            m_sub = msg_scratch[slot, pl.ds(sub * 128, 128), :]
+            if weighted:
+                m_sub = m_sub * expand_scale(alpha_scratch[slot][:, sub, :])
             acc = acc + reduce_dot(
-                (rows == rel[sub][None, :]) & valid,
-                msg_scratch[slot, pl.ds(sub * 128, 128), :],
+                (rows == rel[sub][None, :]) & valid, m_sub
             )
         return acc
 
@@ -304,7 +366,14 @@ def _segment_reduce_kernel(
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _segment_reduce(msgs, rel, blk_ptr, n_blocks, *, interpret=False):
+def _segment_reduce(
+    msgs, rel, blk_ptr, n_blocks, *, alpha3d=None, feat=0, interpret=False
+):
+    """One-hot MXU segment reduction; ``alpha3d`` ([H, E_pad/128, 128] in
+    the same edge order as ``msgs``) selects the weighted variant: value
+    lane ``l`` of edge ``e`` is scaled by ``alpha3d[l // feat, e]`` before
+    the reduction, with the expansion done in-VMEM (see
+    ``_segment_reduce_kernel``)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -313,13 +382,19 @@ def _segment_reduce(msgs, rel, blk_ptr, n_blocks, *, interpret=False):
     if f_in % 128:
         msgs = jnp.pad(msgs, ((0, 0), (0, 128 - f_in % 128)))
         return _segment_reduce(
-            msgs, rel, blk_ptr, n_blocks, interpret=interpret
+            msgs, rel, blk_ptr, n_blocks,
+            alpha3d=alpha3d, feat=feat, interpret=interpret,
         )[:, :f_in]
     f = msgs.shape[1]
+    weighted = alpha3d is not None
+    heads = alpha3d.shape[0] if weighted else 0
+    if not weighted:
+        alpha3d = jnp.zeros((1, 1, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -329,15 +404,30 @@ def _segment_reduce(msgs, rel, blk_ptr, n_blocks, *, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((2, E_CHUNK, f), msgs.dtype),
             pltpu.VMEM((2, SUBS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM(
+                (2, heads, SUBS, 128) if weighted else (2, 1, 1, 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((2, 3 if weighted else 2)),
         ],
     )
     return pl.pallas_call(
-        _segment_reduce_kernel,
+        partial(_segment_reduce_kernel, heads=heads, feat=feat),
         out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_ROWS, f), msgs.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(blk_ptr, msgs, rel)
+    )(blk_ptr, msgs, rel, alpha3d)
+
+
+def _segment_reduce_weighted(
+    msgs, alpha3d, rel, blk_ptr, n_blocks, feat, *, interpret=False
+):
+    """CSC reduce with per-edge/head α folded into the message scaling
+    in-kernel (the GAT backward's dWh reduction, ops/pallas_gat._dwh_csc)."""
+    return _segment_reduce(
+        msgs, rel, blk_ptr, n_blocks,
+        alpha3d=alpha3d, feat=feat, interpret=interpret,
+    )
 
 
 def _is_tpu() -> bool:
