@@ -32,13 +32,17 @@ CONFIG_NAMES = {
 @dataclasses.dataclass
 class ShardedConfig:
     dataset: str = "ogbn-arxiv"
+    model: str = "gcnode"
     hidden: int = 256
     steps: int = 4
     t1: float = 1.0
     lr: float = 0.01
+    weight_decay: float = 5e-4
     epochs: int = 30
+    patience: int = 100
     mode: str = "ring"   # halo exchange flavour
     n_parts: int = 8
+    ckpt_dir: str | None = None
 
 
 def get_config(i: int):
@@ -109,7 +113,25 @@ def run_config(i: int, *, scale: float = 1.0, data_path: str | None = None):
         out = {k: v for k, v in res.items() if isinstance(v, (int, float))}
         return dict(config=CONFIG_NAMES[i], **out)
     if kind == "sharded":
-        from graph_odenet_tpu.bench import scaling_bench
+        # A real end-to-end training run (the R7 recipe — Adam + weight
+        # decay + val early-stop + orbax checkpoints) of the edge-parallel
+        # GCN-ODE over the device mesh, on (synthetic) ogbn-arxiv.
+        import jax
 
-        return dict(config=CONFIG_NAMES[i], **scaling_bench())
+        from graph_odenet_tpu.data.ogbn import synthetic_ogbn_arxiv
+        from graph_odenet_tpu.parallel.trainer import (
+            ShardedTrainConfig, fit_sharded_node_classifier,
+        )
+
+        n_parts = min(cfg.n_parts, len(jax.devices()))
+        data = synthetic_ogbn_arxiv(seed=0, scale=scale)
+        tcfg = ShardedTrainConfig(
+            model=cfg.model, hidden=cfg.hidden, steps=cfg.steps, t1=cfg.t1,
+            lr=cfg.lr, weight_decay=cfg.weight_decay, epochs=cfg.epochs,
+            patience=cfg.patience, mode=cfg.mode, n_parts=n_parts,
+            ckpt_dir=cfg.ckpt_dir,
+        )
+        res = fit_sharded_node_classifier(tcfg, data)
+        res.pop("params")
+        return dict(config=CONFIG_NAMES[i], dataset=data.name, **res)
     raise KeyError(i)

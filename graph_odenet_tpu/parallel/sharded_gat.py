@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from graph_odenet_tpu.parallel.partition import PartitionedGraph
 
-__all__ = ["gat_sharded"]
+__all__ = ["gat_sharded", "init_gatode_params", "gatode_forward"]
 
 _NEG = -1e30
 
@@ -130,3 +130,76 @@ def gat_sharded(
         in_specs=(edge_spec, edge_spec, edge_spec, row, row, P(axis, None, None)),
         out_specs=P(axis, None, None),
     )(pg.senders_rel, pg.receivers_rel, pg.weight, s_src, s_dst, wh)
+
+
+# --- sharded GAT-ODE model (mirror of parallel.sharded_gcn) ---------------
+#
+# The functional edge-parallel counterpart of models.odeblock.GATODE
+# (encoder multi-head GAT → width-preserving single-head attention dynamics
+# integrated rk4 → single-head GAT readout, SURVEY.md §2 R6/T6): every
+# attention aggregation goes through ``gat_sharded``, so the whole training
+# step jits over the mesh with node rows sharded P("edge") and parameters
+# replicated (XLA psums their grads).
+
+
+def init_gatode_params(
+    rng, f_in: int, hidden: int, heads: int, n_class: int, dtype=jnp.float32
+):
+    """Parameters for ``gatode_forward``.  Per layer: a weight ``w`` and the
+    per-head split attention vectors ``a = [a_src ‖ a_dst]`` (the reference's
+    ``aᵀ[Wh_i ‖ Wh_j]`` decomposes into s_src + s_dst, SURVEY.md §3.3)."""
+    ks = jax.random.split(rng, 9)
+    glorot = jax.nn.initializers.glorot_uniform()
+    d = heads * hidden
+
+    def att_vec(k, h, f):
+        return glorot(k, (h, f), dtype)
+
+    return dict(
+        w_enc=glorot(ks[0], (f_in, d), dtype),
+        a_src_enc=att_vec(ks[1], heads, hidden),
+        a_dst_enc=att_vec(ks[2], heads, hidden),
+        w_dyn=glorot(ks[3], (d, d), dtype),
+        a_src_dyn=att_vec(ks[4], 1, d),
+        a_dst_dyn=att_vec(ks[5], 1, d),
+        w_out=glorot(ks[6], (d, n_class), dtype),
+        a_src_out=att_vec(ks[7], 1, n_class),
+        a_dst_out=att_vec(ks[8], 1, n_class),
+    )
+
+
+def _att_layer(pg, mesh, axis, h, w, a_src, a_dst):
+    """One sharded GAT layer: scores per head then masked-softmax attention."""
+    heads, feat = a_src.shape
+    wh = (h @ w).reshape(h.shape[0], heads, feat)
+    s_src = jnp.einsum("nhf,hf->nh", wh, a_src)
+    s_dst = jnp.einsum("nhf,hf->nh", wh, a_dst)
+    out = gat_sharded(pg, s_src, s_dst, wh, mesh, axis=axis)
+    return out.reshape(h.shape[0], heads * feat)
+
+
+def gatode_forward(
+    params, pg: PartitionedGraph, x, mesh: Mesh, *, steps: int = 4,
+    t1: float = 1.0, axis: str = "edge",
+):
+    """log-probs [N_pad, C]; node rows sharded P('edge') throughout."""
+    att = lambda h, w, a_s, a_d: _att_layer(pg, mesh, axis, h, w, a_s, a_d)
+    h = jax.nn.elu(att(x, params["w_enc"], params["a_src_enc"], params["a_dst_enc"]))
+
+    def dyn(h):
+        return jnp.tanh(
+            att(h, params["w_dyn"], params["a_src_dyn"], params["a_dst_dyn"])
+        )
+
+    dt = t1 / steps
+
+    def rk4_step(h, _):
+        k1 = dyn(h)
+        k2 = dyn(h + 0.5 * dt * k1)
+        k3 = dyn(h + 0.5 * dt * k2)
+        k4 = dyn(h + dt * k3)
+        return h + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    h, _ = jax.lax.scan(rk4_step, h, None, length=steps)
+    logits = att(h, params["w_out"], params["a_src_out"], params["a_dst_out"])
+    return jax.nn.log_softmax(logits, axis=-1)
