@@ -308,6 +308,230 @@ def _to3d(a2d, e_pad):
     )
 
 
+def _pack_interleaved(x):
+    """[N, H, F] → [N, F·H] with lane l = f·H + h (head-minor).
+
+    The packed kernels expand per-head scalars onto value lanes with a
+    tile-repeat ([s_0..s_{H-1}] × F), which lands on exactly this
+    interleaved layout."""
+    if 1 in x.shape[1:]:
+        # Singleton head or feature axis: the interleave is a pure reshape
+        # (a swapaxes here makes XLA materialise a minor-dim-1 transpose).
+        return x.reshape(x.shape[0], -1)
+    return jnp.swapaxes(x, 1, 2).reshape(x.shape[0], -1)
+
+
+def _unpack_interleaved(x2d, heads, feat):
+    """[N, F·H] (+ dead lanes) → [N, H, F]."""
+    n = x2d.shape[0]
+    if heads == 1 or feat == 1:
+        return x2d[:, : heads * feat].reshape(n, heads, feat)
+    return jnp.swapaxes(
+        x2d[:, : heads * feat].reshape(n, feat, heads), 1, 2
+    )
+
+
+def _gat_kernel_packed(
+    blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
+    vals_hbm,           # f32 ANY/HBM [1, E_pad, 128] interleaved lanes f·H+h
+    rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
+    out_ref,            # VMEM [BLOCK_ROWS, 128]
+    m_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
+    l_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
+    logit_scratch,      # VMEM [2, H, SUBS, 128]
+    val_scratch,        # VMEM [2, 1, E_CHUNK, 128]
+    rel_scratch,        # VMEM [2, SUBS, 128]
+    dmask_scratch,      # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
+    sems,               # DMA sems [2, 2 + (H if use_dmask)]
+    *,
+    heads: int,
+    true_feat: int,     # logical per-head F (H·F ≤ 128)
+    use_dmask: bool,
+):
+    """Packed (H·F ≤ 128) fused GAT forward — lane-local segmented softmax.
+
+    The general kernel's per-head [R, 128] probability planes cost 8 MXU
+    matmuls + 8·16K transcendentals per 128-edge sub-chunk at the
+    reference's H=8/F=8 shape, almost all masked out.  Here everything
+    per-edge stays in the [H, 128-edge-lane] layout:
+
+      * per-receiver chunk-local max via a 7-step segmented doubling scan
+        over lanes (edges are receiver-sorted, so segments are contiguous
+        lane runs; invalid lanes get unique negative seg-ids);
+      * q = exp(le − m_seg) — H·128 transcendentals, not H·128·128;
+      * ONE one-hot MXU contraction per sub-chunk gathers the receiver-row
+        stats [l_c ‖ m_c ‖ count], and ONE main contraction aggregates
+        the probability-scaled values;
+      * the chunk-local (m_c, l_c, pv) merge into the running (m, l, acc)
+        with the standard flash rescale, per-head scales expanded onto the
+        interleaved value lanes by ``pltpu.repeat`` (exact, VPU-only).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    p0 = blk_ptr_ref[b]
+    p1 = blk_ptr_ref[b + 1]
+    chunk = jnp.int32(E_CHUNK)
+    base = (p0 // chunk) * chunk
+    n_chunks = pl.cdiv(p1 - base, chunk)
+    hf = heads * true_feat
+
+    def issue(k, slot):
+        start = base + k * chunk
+        copies = [
+            pltpu.make_async_copy(
+                rel_hbm.at[pl.ds(start // 128, SUBS), :],
+                rel_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                logits_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                logit_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                vals_hbm.at[0, pl.ds(start, E_CHUNK), :],
+                val_scratch.at[slot, 0],
+                sems.at[slot, 2],
+            ),
+        ]
+        if use_dmask:
+            copies.append(
+                pltpu.make_async_copy(
+                    dmask_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                    dmask_scratch.at[slot],
+                    sems.at[slot, 3],
+                )
+            )
+        return copies
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for c in issue(0, 0):
+            c.start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    lanes_e = jax.lax.broadcasted_iota(jnp.int32, (heads, 128), 1)
+    heads_e = jax.lax.broadcasted_iota(jnp.int32, (heads, 128), 0)
+    expand_f32 = (
+        ((lanes_e % heads) == heads_e) & (lanes_e < hf)
+    ).astype(jnp.float32)
+
+    def rep(s):
+        """[R, H] per-head scalars → [R, 128] interleaved value lanes.
+
+        Single head: plain lane broadcast (a 128-way pltpu.repeat of a
+        1-lane array blows the compiler's scoped-vmem budget).  Dead lanes
+        past H·F may carry a live scale — harmless, they only ever multiply
+        zeros (Q/acc are zero there)."""
+        if heads == 1:
+            return jnp.broadcast_to(s, (s.shape[0], 128))
+        # Native K=heads MXU contraction — measured 16 ms/pass faster than
+        # pltpu.repeat at arxiv scale (the repeat lowers to per-tile copies).
+        return _mask_dot(
+            expand_f32, s, (((1,), (0,)), ((), ())), exact_lhs=False
+        )
+
+    def body(k, carry):
+        acc, m, l = carry
+        k = jnp.int32(k)
+        slot = jax.lax.rem(k, jnp.int32(2))
+        nxt = jax.lax.rem(k + 1, jnp.int32(2))
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            for c in issue(k + 1, nxt):
+                c.start()
+
+        for c in issue(k, slot):
+            c.wait()
+
+        rel_all = rel_scratch[slot]                       # [SUBS, 128]
+        for sub in range(SUBS):
+            e_idx = lane + base + k * chunk + sub * 128
+            valid = (e_idx >= p0) & (e_idx < p1)          # [1, 128]
+            relv = rel_all[sub][None, :]                  # [1, 128]
+            oh = ((rows == relv) & valid)                 # [R, 128e]
+            # Unique negative seg-ids on invalid lanes: edges of adjacent
+            # blocks in the overlap window share the [0, 128) rel range and
+            # must never merge into this block's segments.
+            seg = jnp.where(valid, relv, -1 - lane)       # [1, 128]
+            le = logit_scratch[slot][:, sub, :]           # [H, 128e]
+            # Chunk-local per-segment max: bidirectional doubling scan.
+            # Receiver-sorted edges ⇒ segments are contiguous lane runs, so
+            # a seg-id match at distance d implies everything between
+            # matches; circular wrap can only match when the whole sub-chunk
+            # is one segment (harmless).
+            mseg = jnp.where(valid, le, _NEG)
+            for d in (1, 2, 4, 8, 16, 32, 64):
+                for sh in (d, 128 - d):  # circular roll: −d ≡ 128−d
+                    ok = pltpu.roll(seg, shift=sh, axis=1) == seg
+                    mseg = jnp.maximum(
+                        mseg,
+                        jnp.where(ok, pltpu.roll(mseg, shift=sh, axis=1), _NEG),
+                    )
+            q = jnp.where(valid, jnp.exp(le - mseg), 0.0)  # [H, 128e]
+            # Last lane of each segment carries the segment max.
+            is_last = (
+                (pltpu.roll(seg, shift=127, axis=1) != seg) | (lane == 127)
+            ).astype(jnp.float32)                          # [1, 128]
+            # Pre-transpose the stats bundle so the contraction is in
+            # native MXU form (lhs dim1 × rhs dim0) — contracting the rhs
+            # on its lane axis made Mosaic transpose it inside EVERY
+            # mantissa-split pass (~20 ms of the kernel, measured).
+            bundleT = jnp.concatenate(
+                [q, mseg * is_last, is_last], axis=0
+            ).T                                            # [128e, 2H+1]
+            stats = _mask_dot(
+                oh, bundleT, (((1,), (0,)), ((), ())), exact_lhs=True
+            )                                              # [R, 2H+1]
+            l_c = stats[:, :heads]
+            m_c = jnp.where(
+                stats[:, 2 * heads : 2 * heads + 1] > 0.5,
+                stats[:, heads : 2 * heads],
+                _NEG,
+            )                                              # [R, H]
+            m_n = jnp.maximum(m, m_c)
+            s_old = jnp.exp(m - m_n)
+            s_c = jnp.exp(m_c - m_n)
+            l = l * s_old + l_c * s_c
+            q_pv = q * dmask_scratch[slot][:, sub, :] if use_dmask else q
+            # Q[e, f·H+h] = q[h, e]: lane-transpose then tile-repeat
+            # (broadcast when single-head — see rep()).
+            qT = q_pv.T                                    # [128e, H]
+            if heads == 1:
+                Q = jnp.broadcast_to(qT, (128, 128))
+            else:
+                Q = pltpu.repeat(qT, true_feat, axis=1)    # [128e, H·F]
+                if hf < 128:
+                    Q = jnp.pad(Q, ((0, 0), (0, 128 - hf)))
+            v_sub = val_scratch[slot, 0, pl.ds(sub * 128, 128), :]
+            pv = _mask_dot(
+                oh, Q * v_sub, (((1,), (0,)), ((), ())), exact_lhs=True
+            )                                              # [R, 128]
+            acc = acc * rep(s_old) + pv * rep(s_c)
+            m = m_n
+        return acc, m, l
+
+    init = (
+        jnp.zeros((BLOCK_ROWS, 128), jnp.float32),
+        jnp.full((BLOCK_ROWS, heads), _NEG, jnp.float32),
+        jnp.zeros((BLOCK_ROWS, heads), jnp.float32),
+    )
+    acc, m, l = jax.lax.fori_loop(jnp.int32(0), n_chunks, body, init)
+    denom = jnp.maximum(l, 1e-30)                          # [R, H]
+    denom_l = rep(denom)
+    out_ref[:] = acc / (denom_l + (denom_l == 0.0))        # dead lanes ÷ 1
+    pad = ((0, 0), (0, 128 - heads))
+    m_ref[:] = jnp.pad(m, pad)
+    l_ref[:] = jnp.pad(denom, pad)
+
+
 def _gat_call(
     csr: PallasCSR, logits3d, vals3d, dmask3d, heads, featp, true_feat,
     packed, *, interpret,
@@ -321,6 +545,23 @@ def _gat_call(
     use_dmask = dmask3d is not None
     if not use_dmask:
         dmask3d = jnp.zeros((heads, 1, 128), jnp.float32)
+    if packed and heads > 1:
+        # Multi-head packed: the segmented-scan kernel (one main MXU
+        # contraction per sub-chunk).  Single head sticks with the general
+        # kernel — its per-head work IS the whole job there, and the scan/
+        # stats machinery costs more than it saves (measured 22 vs 11 ms
+        # fwd at arxiv scale, H=1 F=128).
+        kernel = partial(
+            _gat_kernel_packed, heads=heads, true_feat=true_feat,
+            use_dmask=use_dmask,
+        )
+        n_sems = 3 + (1 if use_dmask else 0)
+    else:
+        kernel = partial(
+            _gat_kernel, heads=heads, feat=featp, true_feat=true_feat,
+            packed=packed, use_dmask=use_dmask,
+        )
+        n_sems = 1 + heads + n_val + (heads if use_dmask else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -349,16 +590,11 @@ def _gat_call(
                 (2, heads, SUBS, 128) if use_dmask else (2, 1, 1, 128),
                 jnp.float32,
             ),
-            pltpu.SemaphoreType.DMA(
-                (2, 1 + heads + n_val + (heads if use_dmask else 0))
-            ),
+            pltpu.SemaphoreType.DMA((2, n_sems)),
         ],
     )
     return pl.pallas_call(
-        partial(
-            _gat_kernel, heads=heads, feat=featp, true_feat=true_feat,
-            packed=packed, use_dmask=use_dmask,
-        ),
+        kernel,
         out_shape=[
             jax.ShapeDtypeStruct((nb * BLOCK_ROWS, hf), jnp.float32),
             jax.ShapeDtypeStruct((nb * BLOCK_ROWS, 128), jnp.float32),
@@ -384,7 +620,7 @@ def _vals_edge_major(csr: PallasCSR, wh: jax.Array, packed: bool, featp: int):
     n = wh.shape[0]
     if packed:
         table = jnp.pad(
-            wh.astype(jnp.float32).reshape(n, heads * feat),
+            _pack_interleaved(wh.astype(jnp.float32)),
             ((0, 0), (0, 128 - heads * feat)),
         )                                                     # [N, 128]
         return jnp.take(table, csr.senders, axis=0)[None]     # [1, E_pad, 128]
@@ -414,7 +650,7 @@ def _fwd_impl(
     )
     n = csr.n_node_pad
     if packed:
-        out = out[:n, : heads * feat].reshape(n, heads, feat)
+        out = _unpack_interleaved(out[:n], heads, feat)
     else:
         out = out.reshape(out.shape[0], heads, featp)[:n, :, :feat]
     return out, m[:n, :heads], l[:n, :heads]
@@ -559,10 +795,17 @@ def _gat_bwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     hf = n_val * (128 if packed else featp)
     # head_sel[f, h] = 1 where value lane f belongs to head h (static).
+    # Packed planes are head-minor interleaved (lane = f·H + h, the
+    # pltpu.repeat layout of the packed forward); non-packed planes are one
+    # featp-wide block per head.
     fsel = jax.lax.broadcasted_iota(jnp.int32, (hf, heads), 0)
     hsel = jax.lax.broadcasted_iota(jnp.int32, (hf, heads), 1)
-    stride = true_feat if packed else featp
-    head_sel = ((fsel // stride) == hsel).astype(jnp.float32)
+    if packed:
+        head_sel = (
+            ((fsel % heads) == hsel) & (fsel < heads * true_feat)
+        ).astype(jnp.float32)
+    else:
+        head_sel = ((fsel // featp) == hsel).astype(jnp.float32)
 
     def body(k, _):
         k = jnp.int32(k)
@@ -798,8 +1041,9 @@ def _bwd_fused(csr, res, g, dmask=None):
         return jnp.pad(a, ((0, nb_rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
 
     if packed:
+        # Interleaved lanes (f·H + h) — must match the vals plane layout.
         g_blk = pad_rows(
-            jnp.pad(g.reshape(n, heads * feat), ((0, 0), (0, 128 - heads * feat)))
+            jnp.pad(_pack_interleaved(g), ((0, 0), (0, 128 - heads * feat)))
         )
     else:
         g_blk = pad_rows(
