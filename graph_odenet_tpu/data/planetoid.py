@@ -123,6 +123,19 @@ def load_planetoid(name: str, path: str) -> NodeClassificationData:
     return _finalize(name, features, labels, senders, receivers, len(classes))
 
 
+#: Twin parameters calibrated (scripts/calibrate_twins.py) so the canonical
+#: 2-layer GCN (config 0 recipe) lands near the published real-data test
+#: accuracies (Kipf & Welling: Cora .815, Citeseer .703, Pubmed .790) —
+#: making ODE-vs-discrete accuracy comparisons on the twins falsifiable
+#: instead of saturated (round-1 twins hit .988).
+CALIBRATED = {
+    # measured: GCN twin acc .818 vs target .815 (seed 0)
+    "cora": dict(homophily=0.75, class_vocab_frac=0.6, noise_words=18),
+    "citeseer": dict(homophily=0.85, class_vocab_frac=0.5, noise_words=10),
+    "pubmed": dict(homophily=0.6, class_vocab_frac=0.8, noise_words=13),
+}
+
+
 def synthetic_planetoid(
     name: str = "cora",
     *,
@@ -131,14 +144,25 @@ def synthetic_planetoid(
     homophily: float = 0.9,
     words_per_doc: int = 18,
     class_vocab_frac: float = 0.35,
+    noise_words: int | None = None,
+    calibrated: bool = False,
 ) -> NodeClassificationData:
     """Deterministic SBM citation graph with class-correlated features.
 
     Matches the named dataset's node/feature/class/edge counts (scaled by
     ``scale``); ``homophily`` is the fraction of intra-class edges (real
-    citation graphs sit near 0.8–0.93).
+    citation graphs sit near 0.8–0.93); ``noise_words`` random extra words
+    per doc (default ``words_per_doc // 4``).  ``calibrated=True`` swaps in
+    the ``CALIBRATED`` difficulty (GCN ≈ published real-data accuracy).
     """
     name = name.lower()
+    if calibrated:
+        cal = CALIBRATED[name]
+        homophily = cal["homophily"]
+        class_vocab_frac = cal["class_vocab_frac"]
+        noise_words = cal["noise_words"]
+    if noise_words is None:
+        noise_words = max(words_per_doc // 4, 1)
     n, f, c, e = _STATS[name]
     n, f, e = int(n * scale), int(f * scale) if scale < 1 else f, int(e * scale)
     rng = np.random.default_rng(seed + hash(name) % 2**16)
@@ -173,7 +197,7 @@ def synthetic_planetoid(
     features = np.zeros((n, f), dtype=np.float32)
     for i in range(n):
         own = rng.choice(topic_words[labels[i]], size=words_per_doc)
-        noise = rng.integers(0, f, size=max(words_per_doc // 4, 1))
+        noise = rng.integers(0, f, size=noise_words)
         features[i, own] = 1.0
         features[i, noise] = 1.0
 

@@ -147,7 +147,7 @@ def prepare(g: Graph) -> PallasCSR:
     # rel is stored 2-D [E_pad/128, 128] so chunk DMAs are row slices whose
     # start (a multiple of E_CHUNK/128 = 8 rows) satisfies Mosaic's (8, 128)
     # int32 tiling alignment.
-    return PallasCSR(
+    csr = PallasCSR(
         senders=jnp.asarray(pad(f_src)),
         receivers=jnp.asarray(pad(r[f_order].astype(np.int32))),
         weight=jnp.asarray(pad(f_w)),
@@ -162,6 +162,12 @@ def prepare(g: Graph) -> PallasCSR:
         n_edge=g.n_edge,
         block_rows=BLOCK_ROWS,
     )
+    # Kernel index math trusts these invariants; violations would read out
+    # of bounds in VMEM (SURVEY.md §5 sanitizer row).
+    from graph_odenet_tpu.utils.sanitize import validate_tiling
+
+    validate_tiling(csr)
+    return csr
 
 
 SUBS = E_CHUNK // 128  # 128-edge sub-chunks per chunk (one rel row each)
