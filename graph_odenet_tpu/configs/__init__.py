@@ -28,6 +28,25 @@ CONFIG_NAMES = {
     4: "ogbn-arxiv-gcnode-sharded",
 }
 
+# Named extras beyond the BASELINE entries: the reference's full dataset ×
+# model sweep (GCN on all three citation sets; the canonical Veličković
+# GAT recipe — 8 heads × 8 hidden, dropout 0.6, lr 0.005).
+_GAT_RECIPE = dict(
+    model="gat", hidden=8, heads=8, dropout=0.6,
+    lr=0.005, weight_decay=5e-4, epochs=300, patience=100,
+)
+_GCN_RECIPE = dict(
+    model="gcn", hidden=16, dropout=0.5, lr=0.01,
+    weight_decay=5e-4, epochs=200, patience=100,
+)
+EXTRA_CONFIGS = {
+    "citeseer-gcn": ("citeseer", _GCN_RECIPE),
+    "pubmed-gcn": ("pubmed", _GCN_RECIPE),
+    "cora-gat": ("cora", _GAT_RECIPE),
+    "citeseer-gat": ("citeseer", _GAT_RECIPE),
+    "pubmed-gat": ("pubmed", _GAT_RECIPE),
+}
+
 
 @dataclasses.dataclass
 class ShardedConfig:
@@ -45,7 +64,15 @@ class ShardedConfig:
     ckpt_dir: str | None = None
 
 
-def get_config(i: int):
+def get_config(i):
+    if isinstance(i, str):
+        if i in EXTRA_CONFIGS:
+            _, recipe = EXTRA_CONFIGS[i]
+            return "node", NodeClassConfig(**recipe)
+        inv = {v: k for k, v in CONFIG_NAMES.items()}
+        if i in inv:
+            return get_config(inv[i])
+        raise KeyError(i)
     if i == 0:
         return "node", NodeClassConfig(
             model="gcn", hidden=16, dropout=0.5, lr=0.01,
@@ -75,26 +102,44 @@ def get_config(i: int):
 _CONFIG_DATASET = {0: "cora", 1: "cora", 2: "citeseer"}
 
 
-def run_config(i: int, *, scale: float = 1.0, data_path: str | None = None):
-    """Execute canonical config ``i`` end-to-end; returns a summary dict.
+def run_config(
+    i,
+    *,
+    scale: float = 1.0,
+    data_path: str | None = None,
+    calibrated: bool = False,
+    seed: int | None = None,
+):
+    """Execute canonical config ``i`` (index or name) end-to-end.
 
     ``scale`` shrinks the synthetic dataset for smoke runs; ``data_path``
-    points at real pygcn-format files (configs 0–2).
+    points at real pygcn-format files (node configs); ``calibrated`` uses
+    the difficulty-calibrated twins (data.planetoid.CALIBRATED) so twin
+    accuracy is comparable to the published real-data numbers; ``seed``
+    overrides the config seed (multi-seed accuracy tables).
     """
     kind, cfg = get_config(i)
+    cfg_name = CONFIG_NAMES[i] if isinstance(i, int) else i
+    if seed is not None and hasattr(cfg, "seed"):
+        cfg = dataclasses.replace(cfg, seed=seed)
     if kind == "node":
         from graph_odenet_tpu.data import synthetic_planetoid
         from graph_odenet_tpu.data.planetoid import load_planetoid
         from graph_odenet_tpu.train import fit_node_classifier
 
-        name = _CONFIG_DATASET[i]
+        name = (
+            _CONFIG_DATASET[i] if isinstance(i, int)
+            else EXTRA_CONFIGS.get(i, (i.split("-")[0], None))[0]
+        )
         data = (
             load_planetoid(name, data_path)
             if data_path
-            else synthetic_planetoid(name, seed=cfg.seed, scale=scale)
+            else synthetic_planetoid(
+                name, seed=cfg.seed, scale=scale, calibrated=calibrated
+            )
         )
         res = fit_node_classifier(cfg, data)
-        return dict(config=CONFIG_NAMES[i], dataset=name, best=res["best"],
+        return dict(config=cfg_name, dataset=data.name, best=res["best"],
                     seconds=round(res["seconds"], 2))
     if kind == "physics":
         import jax.numpy as jnp
@@ -111,7 +156,7 @@ def run_config(i: int, *, scale: float = 1.0, data_path: str | None = None):
             )
         res = fit_inode(cfg)
         out = {k: v for k, v in res.items() if isinstance(v, (int, float))}
-        return dict(config=CONFIG_NAMES[i], **out)
+        return dict(config=cfg_name, **out)
     if kind == "sharded":
         # A real end-to-end training run (the R7 recipe — Adam + weight
         # decay + val early-stop + orbax checkpoints) of the edge-parallel
@@ -133,5 +178,5 @@ def run_config(i: int, *, scale: float = 1.0, data_path: str | None = None):
         )
         res = fit_sharded_node_classifier(tcfg, data)
         res.pop("params")
-        return dict(config=CONFIG_NAMES[i], dataset=data.name, **res)
+        return dict(config=cfg_name, dataset=data.name, **res)
     raise KeyError(i)

@@ -129,10 +129,11 @@ def load_planetoid(name: str, path: str) -> NodeClassificationData:
 #: making ODE-vs-discrete accuracy comparisons on the twins falsifiable
 #: instead of saturated (round-1 twins hit .988).
 CALIBRATED = {
-    # measured: GCN twin acc .818 vs target .815 (seed 0)
-    "cora": dict(homophily=0.75, class_vocab_frac=0.6, noise_words=18),
-    "citeseer": dict(homophily=0.85, class_vocab_frac=0.5, noise_words=10),
-    "pubmed": dict(homophily=0.6, class_vocab_frac=0.8, noise_words=13),
+    # measured GCN twin acc (seed 0) vs published target:
+    #   cora .817 / .815, citeseer .709 / .703, pubmed .811 / .790
+    "cora": dict(homophily=0.82, class_vocab_frac=0.6, noise_words=18),
+    "citeseer": dict(homophily=0.85, class_vocab_frac=0.5, noise_words=8),
+    "pubmed": dict(homophily=0.7, class_vocab_frac=0.78, noise_words=10),
 }
 
 
@@ -165,7 +166,11 @@ def synthetic_planetoid(
         noise_words = max(words_per_doc // 4, 1)
     n, f, c, e = _STATS[name]
     n, f, e = int(n * scale), int(f * scale) if scale < 1 else f, int(e * scale)
-    rng = np.random.default_rng(seed + hash(name) % 2**16)
+    # zlib.crc32, not hash(): Python string hashing is salted per process,
+    # which would make the "deterministic" twin differ between runs.
+    import zlib
+
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 2**16)
 
     labels = rng.integers(0, c, size=n).astype(np.int32)
 
