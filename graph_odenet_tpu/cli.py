@@ -29,7 +29,10 @@ def _node(args):
     if args.data_path:
         data = load_planetoid(args.dataset, args.data_path)
     else:
-        data = synthetic_planetoid(args.dataset, seed=args.seed, scale=args.scale)
+        data = synthetic_planetoid(
+            args.dataset, seed=args.seed, scale=args.scale,
+            calibrated=args.calibrated,
+        )
     cfg = NodeClassConfig(
         model=args.model, hidden=args.hidden, heads=args.heads,
         dropout=args.dropout, t1=args.t1, method=args.method,
@@ -75,16 +78,20 @@ def _physics(args):
 
 
 def _config(args):
-    from graph_odenet_tpu.configs import get_config, run_config
+    from graph_odenet_tpu.configs import run_config
 
-    print(json.dumps(run_config(args.index)))
+    idx = int(args.index) if args.index.isdigit() else args.index
+    print(json.dumps(run_config(
+        idx, scale=args.scale, calibrated=args.calibrated, seed=args.seed,
+    ), default=float))
 
 
 def _bench(args):
     from graph_odenet_tpu import bench
 
     fn = dict(spmm=bench.spmm_bench, gat=bench.gat_bench,
-              ode=bench.ode_bench, scaling=bench.scaling_bench)[args.which]
+              ode=bench.ode_bench, ode_model=bench.ode_model_bench,
+              scaling=bench.scaling_bench)[args.which]
     print(json.dumps(fn(), default=float))
 
 
@@ -117,6 +124,8 @@ def main(argv=None):
     n.add_argument("--representation", default=None,
                    choices=[None, "dense", "segment", "pallas"])
     n.add_argument("--log-path", default=None)
+    n.add_argument("--calibrated", action="store_true",
+                   help="difficulty-calibrated twin (GCN ~ published acc)")
     n.add_argument("--quiet", action="store_true")
     n.set_defaults(fn=_node)
 
@@ -133,12 +142,20 @@ def main(argv=None):
                     help="rollout horizon for eval (0 = skip)")
     ph.set_defaults(fn=_physics)
 
-    c = sub.add_parser("config", help="run canonical BASELINE config N")
-    c.add_argument("index", type=int)
+    c = sub.add_parser(
+        "config", help="run canonical config (index 0-4 or a name like "
+        "cora-gat; see configs.EXTRA_CONFIGS)"
+    )
+    c.add_argument("index")
+    c.add_argument("--scale", type=float, default=1.0)
+    c.add_argument("--seed", type=int, default=None)
+    c.add_argument("--calibrated", action="store_true")
     c.set_defaults(fn=_config)
 
     b = sub.add_parser("bench", help="throughput benchmarks")
-    b.add_argument("which", choices=["spmm", "gat", "ode", "scaling"])
+    b.add_argument(
+        "which", choices=["spmm", "gat", "ode", "ode_model", "scaling"]
+    )
     b.set_defaults(fn=_bench)
 
     args = p.parse_args(argv)
