@@ -51,6 +51,7 @@ def spmm_sharded(
     *,
     axis: str = "edge",
     mode: str = "ring",
+    feat_axis: str | None = None,
     check_vma: bool | None = None,
 ) -> jax.Array:
     """Â @ x with x row-sharded over ``axis``; returns the same sharding.
@@ -59,6 +60,12 @@ def spmm_sharded(
       pg: partitioning with ``n_parts == mesh.shape[axis]``.
       x:  f32[n_node_pad, F] node features (global view; sharded or not —
           ``shard_map`` re-shards as needed).
+      feat_axis: optional second mesh axis to shard the FEATURE dimension
+          over (tensor parallelism for wide layers, SURVEY §2.2 T7): the
+          aggregation is feature-wise independent, so each feat-shard runs
+          the same halo exchange on an F/PF slice — edge metadata is
+          replicated across the axis, activations and ring traffic shrink
+          by PF.
       check_vma: pass ``False`` when composing with a batch mesh axis via
           ``jax.vmap(..., spmd_axis_name=...)`` (DP × edge parallelism on a
           2-D mesh) — jax's varying-manual-axes checker currently rejects
@@ -71,9 +78,10 @@ def spmm_sharded(
     B = pg.block_size
 
     # Per-device shards: edge arrays by receiver block (dim 0), features by
-    # node block.  Other mesh axes replicate.
+    # node block (rows) and optionally the feat mesh axis (columns).  Other
+    # mesh axes replicate.
     edge_spec = P(axis, None, None)
-    x_spec = P(axis, None)
+    x_spec = P(axis, feat_axis)
 
     if mode == "allgather":
 
@@ -140,8 +148,10 @@ def spmm_sharded(
 
             out0 = jnp.zeros((B, x_shard.shape[1]), dtype=x_shard.dtype)
             # The accumulator must carry the same varying-manual-axes type
-            # as the per-device data it sums (shard_map vma typing).
-            out0 = jax.lax.pcast(out0, (axis,), to="varying")
+            # as the per-device data it sums (shard_map vma typing) — all
+            # mesh axes the features are sharded over.
+            vma = (axis,) + ((feat_axis,) if feat_axis else ())
+            out0 = jax.lax.pcast(out0, vma, to="varying")
             out, _ = jax.lax.fori_loop(0, n_parts, body, (out0, x_shard))
             return out
 
