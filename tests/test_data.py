@@ -98,3 +98,28 @@ def test_one_step_dataset():
     np.testing.assert_allclose(
         np.asarray(y[0]), np.asarray(trajs[0, 1, :, 3:5]), atol=1e-6
     )
+
+
+def test_ogbn_arxiv_file_parser(tmp_path):
+    """ogb CSV layout (node-feat/node-label/edge) round-trips through
+    load_ogbn_arxiv with the deterministic index splits."""
+    import numpy as np
+
+    from graph_odenet_tpu.data.ogbn import load_ogbn_arxiv
+
+    rng = np.random.default_rng(0)
+    n, f = 12, 4
+    feats = rng.random((n, f)).astype(np.float32)
+    labels = rng.integers(0, 3, size=n)
+    edges = np.stack([rng.permutation(n), rng.permutation(n)], axis=1)
+    np.savetxt(tmp_path / "node-feat.csv", feats, delimiter=",")
+    np.savetxt(tmp_path / "node-label.csv", labels, delimiter=",", fmt="%d")
+    np.savetxt(tmp_path / "edge.csv", edges, delimiter=",", fmt="%d")
+
+    d = load_ogbn_arxiv(str(tmp_path))
+    assert d.graph.n_node == n
+    assert d.n_class == int(labels.max()) + 1
+    assert np.asarray(d.labels)[:n].tolist() == labels.tolist()
+    # 54/16/30 split convention over node indices.
+    assert len(d.idx_train) == int(0.54 * n)
+    assert int(d.idx_test[-1]) == n - 1
