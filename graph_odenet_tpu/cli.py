@@ -43,8 +43,65 @@ def _node(args):
         echo=not args.quiet,
     )
     res = fit_node_classifier(cfg, data)
+    if args.ckpt_dir:
+        from graph_odenet_tpu.utils.checkpoint import Checkpointer
+
+        ck = Checkpointer(args.ckpt_dir)
+        ck.save(max(res["best"]["epoch"], 0), dict(params=res["params"]),
+                wait=True)
+        ck.close()
     print(json.dumps(dict(best=res["best"], epochs_run=res["epochs_run"],
                           seconds=round(res["seconds"], 2))))
+
+
+def _predict(args):
+    """Restore trained params and evaluate/serve logits — the inference
+    path (same model-building code as training; params from orbax)."""
+    import jax
+
+    from graph_odenet_tpu.data import synthetic_planetoid
+    from graph_odenet_tpu.data.planetoid import load_planetoid
+    from graph_odenet_tpu.train import NodeClassConfig, build_model
+    from graph_odenet_tpu.train.node_classification import (
+        choose_representation,
+    )
+    from graph_odenet_tpu.utils.checkpoint import Checkpointer
+    from graph_odenet_tpu.utils.metrics import masked_accuracy
+
+    if args.data_path:
+        data = load_planetoid(args.dataset, args.data_path)
+    else:
+        data = synthetic_planetoid(
+            args.dataset, seed=args.seed, scale=args.scale,
+            calibrated=args.calibrated,
+        )
+    cfg = NodeClassConfig(
+        model=args.model, hidden=args.hidden, heads=args.heads,
+        method=args.method, steps=args.steps,
+    )
+    model = build_model(cfg, data.n_class)
+    rep = choose_representation(data.graph, cfg.model)
+    adj = data.dense_adj() if rep == "dense" else data.graph
+    params_like = model.init(
+        {"params": jax.random.PRNGKey(0)}, adj, data.features,
+        deterministic=True,
+    )["params"]
+    ck = Checkpointer(args.ckpt_dir)
+    params = ck.restore(dict(params=params_like))["params"]
+    ck.close()
+
+    @jax.jit
+    def predict(params):
+        return model.apply(
+            {"params": params}, adj, data.features, deterministic=True
+        )
+
+    lp = predict(params)
+    print(json.dumps(dict(
+        test_acc=float(masked_accuracy(lp, data.labels, data.idx_test)),
+        val_acc=float(masked_accuracy(lp, data.labels, data.idx_val)),
+        n_node=int(data.graph.n_node),
+    )))
 
 
 def _physics(args):
@@ -126,8 +183,29 @@ def main(argv=None):
     n.add_argument("--log-path", default=None)
     n.add_argument("--calibrated", action="store_true",
                    help="difficulty-calibrated twin (GCN ~ published acc)")
+    n.add_argument("--ckpt-dir", default=None,
+                   help="save best params (orbax) for `predict`")
     n.add_argument("--quiet", action="store_true")
     n.set_defaults(fn=_node)
+
+    pr = sub.add_parser(
+        "predict", help="restore trained params and evaluate (inference)"
+    )
+    pr.add_argument("--ckpt-dir", required=True)
+    pr.add_argument("--dataset", default="cora",
+                    choices=["cora", "citeseer", "pubmed"])
+    pr.add_argument("--data-path", default=None)
+    pr.add_argument("--scale", type=float, default=1.0)
+    pr.add_argument("--calibrated", action="store_true")
+    pr.add_argument("--model", default="gcn",
+                    choices=["gcn", "resgcn", "gcnode", "gat", "resgat",
+                             "gatode"])
+    pr.add_argument("--hidden", type=int, default=16)
+    pr.add_argument("--heads", type=int, default=8)
+    pr.add_argument("--method", default="rk4")
+    pr.add_argument("--steps", type=int, default=4)
+    pr.add_argument("--seed", type=int, default=42)
+    pr.set_defaults(fn=_predict)
 
     ph = sub.add_parser("physics", help="n-body interaction network")
     ph.add_argument("--ode", action="store_true", help="IN-ODE instead of discrete")

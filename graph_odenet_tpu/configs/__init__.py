@@ -39,12 +39,23 @@ _GCN_RECIPE = dict(
     model="gcn", hidden=16, dropout=0.5, lr=0.01,
     weight_decay=5e-4, epochs=200, patience=100,
 )
+_RESGCN_RECIPE = dict(_GCN_RECIPE, model="resgcn", n_blocks=2)
+_RESGAT_RECIPE = dict(_GAT_RECIPE, model="resgat", n_blocks=2)
+_GCNODE_RECIPE = dict(
+    model="gcnode", hidden=16, method="rk4", steps=4, dropout=0.5,
+    lr=0.01, weight_decay=5e-4, epochs=200, patience=100,
+)
 EXTRA_CONFIGS = {
     "citeseer-gcn": ("citeseer", _GCN_RECIPE),
     "pubmed-gcn": ("pubmed", _GCN_RECIPE),
     "cora-gat": ("cora", _GAT_RECIPE),
     "citeseer-gat": ("citeseer", _GAT_RECIPE),
     "pubmed-gat": ("pubmed", _GAT_RECIPE),
+    # the paper's residual discrete baselines + ODE variants across sets
+    "cora-resgcn": ("cora", _RESGCN_RECIPE),
+    "cora-resgat": ("cora", _RESGAT_RECIPE),
+    "citeseer-gcnode": ("citeseer", _GCNODE_RECIPE),
+    "pubmed-gcnode": ("pubmed", _GCNODE_RECIPE),
 }
 
 

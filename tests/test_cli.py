@@ -39,3 +39,23 @@ def test_run_config_smoke():
     # direct run with small scale but full epochs would be slow; exercise the
     # dataclass plumbing only
     assert dataclasses.replace(cfg, epochs=1).epochs == 1
+
+
+def test_cli_train_save_predict_roundtrip(tmp_path):
+    """Training with --ckpt-dir then `predict` restores the same params
+    (inference/serving path)."""
+    import json
+
+    from graph_odenet_tpu.cli import main
+
+    ck = str(tmp_path / "ck")
+    out = capture_json(
+        main,
+        ["node", "--scale", "0.2", "--epochs", "12", "--model", "gcn",
+         "--ckpt-dir", ck, "--quiet"],
+    )
+    pred = capture_json(
+        main, ["predict", "--ckpt-dir", ck, "--scale", "0.2", "--model", "gcn"]
+    )
+    assert abs(pred["test_acc"] - out["best"]["test_acc"]) < 1e-6
+    assert pred["n_node"] > 0

@@ -95,3 +95,65 @@ def test_spmm_pallas_bf16_inputs(setup):
     np.testing.assert_allclose(
         np.asarray(gb, dtype=np.float32), np.asarray(gr), atol=5e-2, rtol=5e-2
     )
+
+
+def test_spmm_pallas_zero_edge_blocks():
+    """Receiver blocks with no incoming edges (n_chunks == 0) and isolated
+    nodes: output rows must be exactly zero, not stale scratch."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_odenet_tpu.graph import from_edges
+    from graph_odenet_tpu.ops.pallas_spmm import prepare, spmm_pallas
+
+    rng = np.random.default_rng(7)
+    n = 512  # 4 receiver blocks at BLOCK_ROWS=128
+    # All edges land in block 0 receivers; blocks 1..3 are edgeless.
+    s = rng.integers(0, n, size=300)
+    r = rng.integers(0, 100, size=300)
+    g = from_edges(
+        s, r, n_node=n, normalize=None, add_self_loops=False,
+        symmetrize=False, node_multiple=128,
+    )
+    csr = prepare(g)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 128)), jnp.float32)
+    out = np.asarray(spmm_pallas(csr, x))
+    assert np.all(out[128:] == 0.0), "edgeless blocks must emit zeros"
+    # Block 0 matches the dense reference.
+    from graph_odenet_tpu.graph import to_dense
+
+    ref = np.asarray(to_dense(g)) @ np.asarray(x)
+    np.testing.assert_allclose(out[:128], ref[:128], rtol=1e-5, atol=1e-5)
+
+
+def test_gat_pallas_zero_edge_blocks():
+    """Edgeless receivers through the fused GAT kernels: zero output,
+    denominators clamped (no NaNs), gradients finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_odenet_tpu.graph import from_edges
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas
+    from graph_odenet_tpu.ops.pallas_spmm import prepare
+
+    rng = np.random.default_rng(8)
+    n, e, h, f = 384, 200, 2, 8
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, 100, size=e)
+    g = from_edges(
+        s, r, n_node=n, normalize=None, add_self_loops=False,
+        symmetrize=False, node_multiple=128,
+    )
+    csr = prepare(g)
+    logits = jnp.asarray(rng.standard_normal((g.n_edge_pad, h)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((g.n_node_pad, h, f)), jnp.float32)
+    out = np.asarray(gat_aggregate_pallas(csr, logits, wh))
+    assert np.isfinite(out).all()
+    assert np.all(out[128:] == 0.0)
+    grads = jax.grad(
+        lambda lg, w: jnp.sum(gat_aggregate_pallas(csr, lg, w) ** 2),
+        argnums=(0, 1),
+    )(logits, wh)
+    for gr in grads:
+        assert np.isfinite(np.asarray(gr)).all()
