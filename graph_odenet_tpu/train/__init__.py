@@ -3,5 +3,6 @@
 
 from graph_odenet_tpu.train.node_classification import (  # noqa: F401
     NodeClassConfig,
+    build_model,
     fit_node_classifier,
 )

@@ -1,8 +1,18 @@
 """CLI surface (reference `python train.py --flags` parity, SURVEY.md §2 R7)."""
 
+import contextlib
+import io
 import json
 
 from graph_odenet_tpu.cli import main
+
+
+def capture_json(fn, argv):
+    """Run a CLI entry point, return its last stdout line parsed as JSON."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(argv)
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
 
 
 def test_cli_node(capsys):
@@ -27,17 +37,13 @@ def test_cli_physics_rollout(capsys):
 
 
 def test_run_config_smoke():
-    from graph_odenet_tpu.configs import run_config
-
     import dataclasses
+
     from graph_odenet_tpu.configs import get_config
 
-    # config 0 at tiny scale, capped epochs via a patched config
+    # config 0 dataclass plumbing (a direct full-epoch run would be slow)
     kind, cfg = get_config(0)
     assert kind == "node" and cfg.model == "gcn"
-    res = run_config_smoke = None
-    # direct run with small scale but full epochs would be slow; exercise the
-    # dataclass plumbing only
     assert dataclasses.replace(cfg, epochs=1).epochs == 1
 
 
