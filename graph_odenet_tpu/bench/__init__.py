@@ -94,31 +94,49 @@ def spmm_bench(n_nodes=169_343, n_edges=1_166_243, feat=128, iters=20):
 
 def gat_bench(
     n_nodes=169_343, n_edges=1_166_243, heads=1, feat=128, iters=20,
-    mode="fwd_bwd",
+    mode="fwd_bwd", use_scores=True,
 ):
     """edges/s/chip for the GAT attention sandwich (SDDMM→softmax→SpMM),
-    segment path vs fused Pallas kernels (fwd + fused α/dlogit backward)."""
+    segment path vs fused Pallas kernels (fwd + fused α/dlogit backward).
+
+    ``use_scores``: logits come from decomposed node scores (the GAT
+    layer's real workload, ops/sddmm.edge_scores) and the score tables are
+    passed as the backward's recompute-α hint; False measures the plain op
+    on arbitrary logits (round-1 comparable)."""
     import jax
     import jax.numpy as jnp
 
-    from graph_odenet_tpu.ops.sddmm import attention_aggregate
+    from graph_odenet_tpu.ops.sddmm import attention_aggregate, edge_scores
 
     g = powerlaw_graph(n_nodes, n_edges, normalize=None)
     rng = np.random.default_rng(1)
-    logits = jnp.asarray(
-        rng.standard_normal((g.n_edge_pad, heads)), jnp.float32
-    )
+    scores = None
+    if use_scores:
+        s_src = jnp.asarray(
+            rng.standard_normal((g.n_node_pad, heads)), jnp.float32
+        )
+        s_dst = jnp.asarray(
+            rng.standard_normal((g.n_node_pad, heads)), jnp.float32
+        )
+        scores = (s_src, s_dst)
+        logits = edge_scores(g, s_src, s_dst)
+    else:
+        logits = jnp.asarray(
+            rng.standard_normal((g.n_edge_pad, heads)), jnp.float32
+        )
     wh = jnp.asarray(
         rng.standard_normal((g.n_node_pad, heads, feat)), jnp.float32
     )
 
     def make(adj):
         if mode == "fwd":
-            return jax.jit(lambda lg, w: attention_aggregate(adj, lg, w))
+            return jax.jit(
+                lambda lg, w: attention_aggregate(adj, lg, w, scores=scores)
+            )
         return jax.jit(
             jax.grad(
                 lambda lg, w: 0.5 * jnp.sum(
-                    attention_aggregate(adj, lg, w) ** 2
+                    attention_aggregate(adj, lg, w, scores=scores) ** 2
                 ),
                 argnums=(0, 1),
             )

@@ -77,6 +77,10 @@ class GATLayer(nn.Module):
             wh,
             edge_dropout_rng=rng,
             edge_dropout_rate=0.0 if deterministic else self.attn_dropout,
+            scores=(
+                s_src.astype(jnp.float32), s_dst.astype(jnp.float32)
+            ),
+            negative_slope=self.negative_slope,
         )  # [N, H, F]
         if self.concat:
             return out.reshape(out.shape[0], H * F)

@@ -56,6 +56,7 @@ from graph_odenet_tpu.ops.pallas_spmm import (
     _MODE,
     PallasCSR,
     _is_tpu,
+    _segment_reduce_recompute,
     _segment_reduce_weighted,
 )
 
@@ -121,7 +122,11 @@ def _mask_dot(exact, other, dn, *, exact_lhs=True):
         precision=_PRECISION,
     )
 
-__all__ = ["gat_aggregate_pallas", "gat_aggregate_pallas_dropout"]
+__all__ = [
+    "gat_aggregate_pallas",
+    "gat_aggregate_pallas_dropout",
+    "gat_aggregate_pallas_scores",
+]
 
 _NEG = -1e30  # python float: jnp scalars would be captured consts in-kernel
 
@@ -1011,6 +1016,50 @@ def _gat_bwd_call(
     )(csr.blk_ptr, logits3d, vals, csr.rel, dmask3d, g_blk, mlb_blk)
 
 
+def _use_recompute(heads, feat, scores_ml):
+    """The recompute-α CSC path applies when the caller supplied the
+    decomposed score tables AND the gather table has lane room for them."""
+    return (
+        scores_ml is not None
+        and heads * feat + 3 * heads <= 128
+        and os.environ.get("GODE_GAT_DWH", "auto").lower() != "permute"
+    )
+
+
+def _dwh_csc_recompute(csr, g, heads, feat, scores_ml):
+    """dWh via the recompute-α CSC kernel — NO [E, H] edge permute: s_dst,
+    m, l ride the g[recv] wide gather (spare lanes of the same table) and
+    s_src is sender-block-local (see pallas_spmm._segment_reduce_recompute).
+    Exact for the decomposed GAT scores ``LeakyReLU(s_src[s] + s_dst[r])``
+    the reference's layers use (SURVEY.md §3.3)."""
+    s_src, s_dst, m, l, slope = scores_ml
+    hf = heads * feat
+    n = csr.n_node_pad
+    nb_rows = csr.n_blocks * BLOCK_ROWS
+    table = jnp.pad(
+        jnp.concatenate(
+            [
+                g.reshape(g.shape[0], hf),
+                s_dst.astype(jnp.float32),
+                m,
+                l,
+            ],
+            axis=1,
+        ),
+        ((0, 0), (0, 128 - hf - 3 * heads)),
+    )                                                            # [N, 128]
+    msgs = jnp.take(table, csr.t_receivers, axis=0)              # [E_pad, 128]
+    src_blk = jnp.pad(
+        s_src.astype(jnp.float32),
+        ((0, nb_rows - s_src.shape[0]), (0, 128 - heads)),
+    )
+    out = _segment_reduce_recompute(
+        msgs, src_blk, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
+        heads, feat, slope, interpret=not _is_tpu(),
+    )
+    return out[:n, :hf].reshape(n, heads, feat)
+
+
 def _dwh_csc(csr, alpha, g, heads, feat):
     """dWh[s] = Σ_{e: sender=s} α_e g[recv_e] — the Âᵀ segment reduction on
     the CSC view, with α folded in by the weighted reduce kernel.  The
@@ -1046,9 +1095,11 @@ def _dwh_csc(csr, alpha, g, heads, feat):
     )[: csr.n_node_pad, :hf].reshape(csr.n_node_pad, heads, feat)
 
 
-def _bwd_fused(csr, res, g, dmask=None):
-    """Fused α/dlogit backward — one Pallas pass, then the weighted CSC
-    reduction (α folded into the reduce kernel's one-hot)."""
+def _bwd_fused(csr, res, g, dmask=None, scores=None):
+    """Fused α/dlogit backward — one Pallas pass, then the CSC dWh
+    reduction: recompute-α kernel when the decomposed score tables are
+    available (``scores=(s_src, s_dst, slope)``, no dropout), else the
+    weighted reduce over the permuted α."""
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
     e_pad = csr.senders.shape[0]
@@ -1091,8 +1142,15 @@ def _bwd_fused(csr, res, g, dmask=None):
         packed, interpret=not _is_tpu(),
     )
     dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
-    alpha = al3.reshape(heads, e_pad).T             # [E_pad, H] (α·D if drop)
-    dwh = _dwh_csc(csr, alpha, g, heads, feat)
+    scores_ml = (
+        None if (scores is None or dmask is not None)
+        else (scores[0], scores[1], m, l, scores[2])
+    )
+    if _use_recompute(heads, feat, scores_ml):
+        dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml)
+    else:
+        alpha = al3.reshape(heads, e_pad).T         # [E_pad, H] (α·D if drop)
+        dwh = _dwh_csc(csr, alpha, g, heads, feat)
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 
 
@@ -1101,7 +1159,7 @@ def _gat_fwd(csr, logits, wh):
     return out, (logits, wh, out, m, l)
 
 
-def _bwd_xla(csr, res, g, dmask=None):
+def _bwd_xla(csr, res, g, dmask=None, scores=None):
     """Gather-based backward fallback: α from the saved softmax statistics
     and the per-edge dots via [E, H·F] XLA gathers — the costs the fused
     kernel's one-hot MXU contractions avoid."""
@@ -1134,7 +1192,14 @@ def _bwd_xla(csr, res, g, dmask=None):
     dlogits = jnp.where(emask, dlogits, 0.0)[:e_orig]
     if dmask is not None:
         alpha = alpha * d_p        # the CSC dWh pass reduces α·D coefficients
-    dwh = _dwh_csc(csr, alpha, g, heads, feat)
+    scores_ml = (
+        None if (scores is None or dmask is not None)
+        else (scores[0], scores[1], m, l, scores[2])
+    )
+    if _use_recompute(heads, feat, scores_ml):
+        dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml)
+    else:
+        dwh = _dwh_csc(csr, alpha, g, heads, feat)
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
 
 
@@ -1147,6 +1212,42 @@ def _gat_bwd(csr, res, g):
 
 
 gat_aggregate_pallas.defvjp(_gat_fwd, _gat_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gat_aggregate_pallas_scores(
+    csr: PallasCSR, negative_slope: float, logits: jax.Array,
+    wh: jax.Array, s_src: jax.Array, s_dst: jax.Array,
+) -> jax.Array:
+    """``gat_aggregate_pallas`` with the decomposed-score hint.
+
+    ``s_src``/``s_dst`` (``[N_pad, H]``) must satisfy
+    ``logits = leaky_relu(s_src[senders] + s_dst[receivers],
+    negative_slope)`` — i.e. the standard GAT scores ``ops.edge_scores``
+    produces (SURVEY.md §3.3).  The forward is identical to the plain op
+    (it uses ``logits`` as given); the hint lets the backward *recompute*
+    α in CSC order from node-indexed tables instead of paying the narrow
+    [E, H] edge-permute gather (~8–15 ms at arxiv scale).  Gradients flow
+    through ``logits``/``wh``; the hint tensors get zero cotangents (their
+    gradient arrives through ``logits`` via ``edge_scores``'s own vjp).
+    """
+    out, _, _ = _fwd_impl(csr, logits, wh)
+    return out
+
+
+def _gat_scores_fwd(csr, slope, logits, wh, s_src, s_dst):
+    out, m, l = _fwd_impl(csr, logits, wh)
+    return out, (logits, wh, out, m, l, s_src, s_dst)
+
+
+def _gat_scores_bwd(csr, slope, res, g):
+    *res5, s_src, s_dst = res
+    fn = _bwd_fused if _use_fused() else _bwd_xla
+    dlogits, dwh = fn(csr, tuple(res5), g, scores=(s_src, s_dst, slope))
+    return dlogits, dwh, jnp.zeros_like(s_src), jnp.zeros_like(s_dst)
+
+
+gat_aggregate_pallas_scores.defvjp(_gat_scores_fwd, _gat_scores_bwd)
 
 
 def _gat_drop_fwd(csr, logits, wh, dmask):

@@ -436,6 +436,236 @@ def _segment_reduce_weighted(
     )
 
 
+def _segment_reduce_recompute_kernel(
+    blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    msgs_hbm,           # ANY/HBM [E_pad, 128]: lanes [g(hf) | s_dst(H) |
+                        #   m(H) | l(H) | pad] gathered by CSC receiver
+    rel_hbm,            # i32 ANY/HBM [E_pad/128, 128] sender − 128·block
+    src_blk,            # VMEM [BLOCK_ROWS, 128] s_src rows of this sender
+                        #   block (lanes 0..H−1 live)
+    out_ref,            # VMEM [BLOCK_ROWS, 128]
+    msg_scratch,        # VMEM [2, E_CHUNK, 128]
+    rel_scratch,        # VMEM [2, SUBS, 128]
+    sems,               # DMA sems [2, 2]
+    *,
+    heads: int,
+    feat: int,
+    slope: float,       # LeakyReLU negative slope of the edge scores
+):
+    """dWh CSC reduction with α *recomputed in-kernel* from node tables.
+
+    The GAT backward needs per-edge α in CSC (sender-sorted) order, but α is
+    produced in CSR order — and the [E, H] permute gather is narrow, which
+    XLA lowers per-element (~8–15 ms at arxiv scale).  When the logits are
+    the standard decomposed GAT scores ``LeakyReLU(s_src[s] + s_dst[r])``
+    (ops/sddmm.edge_scores), α is a pure function of node-indexed tables:
+
+        α_e = exp(min(LeakyReLU(s_src[s_e] + s_dst[r_e]) − m[r_e], 0)) / l[r_e]
+
+    so the CSC pass needs NO edge-order permute at all: s_dst/m/l ride the
+    existing wide g[r] gather (lanes hf..hf+3H of the msgs table — free, the
+    table was lane-padded to 128 anyway), and s_src is block-local, expanded
+    onto edge lanes by the same one-hot contraction that does the reduction.
+    The exponent clamp is exact for real edges (m is the receiver's running
+    max, so logit ≤ m) and keeps padding receivers (m = −1e30) finite; the
+    one-hot zeroes their contribution.  Requires H·F + 3H ≤ 128.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hf = heads * feat
+    b = pl.program_id(0)
+    p0 = blk_ptr_ref[b]
+    p1 = blk_ptr_ref[b + 1]
+    chunk = jnp.int32(E_CHUNK)
+    base = (p0 // chunk) * chunk
+    n_chunks = pl.cdiv(p1 - base, chunk)
+
+    def issue(k, slot):
+        start = base + k * chunk
+        return [
+            pltpu.make_async_copy(
+                msgs_hbm.at[pl.ds(start, E_CHUNK), :],
+                msg_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                rel_hbm.at[pl.ds(start // 128, SUBS), :],
+                rel_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        ]
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for c in issue(0, 0):
+            c.start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    head_live = lane128 < heads                                  # [1, 128]
+    # expand128[j, l] = 1 where value lane l belongs to head j (j < H).
+    lanes_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    heads_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    expand128 = ((lanes_i // feat) == heads_i) & (lanes_i < hf)
+
+    def body(k, acc):
+        k = jnp.int32(k)
+        slot = jax.lax.rem(k, jnp.int32(2))
+        nxt = jax.lax.rem(k + 1, jnp.int32(2))
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            for c in issue(k + 1, nxt):
+                c.start()
+
+        for c in issue(k, slot):
+            c.wait()
+
+        rel = rel_scratch[slot]                        # [SUBS, 128]
+        for sub in range(SUBS):
+            e_idx = lane128 + base + k * chunk + sub * 128
+            valid = (e_idx >= p0) & (e_idx < p1)               # [1, 128]
+            oh = (rows == rel[sub][None, :]) & valid           # [R, 128e]
+            m_sub = msg_scratch[slot, pl.ds(sub * 128, 128), :]  # [128e, 128]
+            # s_src expanded onto edge rows: one one-hot contraction
+            # (lanes 0..H−1 live; invalid edges → 0 rows).
+            src_em = _mask_dot_spmm(
+                oh, src_blk[:], (((0,), (0,)), ((), ()))
+            )                                                   # [128e, 128]
+            # s_dst / m / l extracted from the gather tile by lane rolls
+            # (VPU-cheap; garbage beyond lane H is masked below).
+            dst_em = pltpu.roll(m_sub, shift=(128 - hf) % 128, axis=1)
+            m_em = pltpu.roll(m_sub, shift=(128 - hf - heads) % 128, axis=1)
+            l_em = pltpu.roll(
+                m_sub, shift=(128 - hf - 2 * heads) % 128, axis=1
+            )
+            logit = src_em + dst_em
+            logit = jnp.where(logit >= 0.0, logit, slope * logit)
+            expo = jnp.minimum(logit - m_em, 0.0)   # exact: logit ≤ m[r]
+            l_safe = jnp.where(head_live, l_em, 1.0)
+            alpha = jnp.where(head_live, jnp.exp(expo), 0.0) / l_safe
+            # α expanded onto value lanes ([e, j] @ [j, l] → [e, l]): rows
+            # ≥ H of expand128 are zero, so garbage α lanes never reach the
+            # messages; lanes ≥ hf of the scale are zero, so the table's
+            # s_dst/m/l lanes drop out of the reduction automatically.
+            scale = _mask_dot_spmm(
+                expand128, alpha, (((1,), (0,)), ((), ())), exact_lhs=False,
+            )                                                   # [128e, 128]
+            acc = acc + _reduce_dot_spmm(oh, m_sub * scale)
+        return acc
+
+    acc = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), n_chunks, body, acc)
+    out_ref[:] = acc
+
+
+def _reduce_dot_spmm(mask, m):
+    """Standalone one-hot reduction matmul (same tiers as the in-kernel
+    ``reduce_dot`` closure; shared by the recompute kernel)."""
+    dn = (((1,), (0,)), ((), ()))
+    if _MODE in ("highest", "bf16x2") and m.dtype == jnp.float32:
+        oh = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
+        hi = m.astype(jnp.bfloat16)
+        r1 = m - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        parts = [hi, mid]
+        if _MODE == "highest":
+            parts.append((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
+        acc = None
+        for p in parts:
+            d = jax.lax.dot_general(
+                oh, p, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        return acc
+    oh = jnp.where(mask, 1.0, 0.0).astype(m.dtype)
+    return jax.lax.dot_general(
+        oh, m, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _mask_dot_spmm(exact, other, dn, *, exact_lhs=True):
+    """Matmul where ``exact`` is a 0/1 mask; only ``other`` is mantissa-split
+    (3 segments at "highest", 2 at "bf16x2").  ``exact`` may be boolean.
+    ``dn`` is written for the (exact, other) order when ``exact_lhs`` else
+    the (other, exact) order."""
+    if _MODE in ("highest", "bf16x2"):
+        e16 = jnp.where(exact, 1.0, 0.0).astype(jnp.bfloat16) \
+            if exact.dtype == jnp.bool_ else exact.astype(jnp.bfloat16)
+        hi = other.astype(jnp.bfloat16)
+        r1 = other - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        parts = [hi, mid]
+        if _MODE == "highest":
+            parts.append((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
+        acc = None
+        for p in parts:
+            a, b = (e16, p) if exact_lhs else (p, e16)
+            d = jax.lax.dot_general(
+                a, b, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        return acc
+    ex = jnp.where(exact, 1.0, 0.0) if exact.dtype == jnp.bool_ else exact
+    a, b = (ex, other) if exact_lhs else (other, ex)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _segment_reduce_recompute(
+    msgs, src_blk, rel, blk_ptr, n_blocks, heads, feat, slope,
+    *, interpret=False,
+):
+    """CSC dWh reduction with in-kernel α recompute from node tables —
+    no [E, H] edge-order permute anywhere (see the kernel docstring).
+
+    ``msgs``:    [E_pad, 128] gathered table rows (g | s_dst | m | l | pad).
+    ``src_blk``: [n_blocks·BLOCK_ROWS, 128] s_src rows (lanes 0..H−1 live).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (BLOCK_ROWS, 128), lambda b, *_: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_ROWS, 128), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, E_CHUNK, 128), msgs.dtype),
+            pltpu.VMEM((2, SUBS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(
+            _segment_reduce_recompute_kernel,
+            heads=heads, feat=feat, slope=slope,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * BLOCK_ROWS, 128), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(blk_ptr, msgs, rel, src_blk)
+
+
 def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 

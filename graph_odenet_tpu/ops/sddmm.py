@@ -57,6 +57,8 @@ def attention_aggregate(
     *,
     edge_dropout_rng: jax.Array | None = None,
     edge_dropout_rate: float = 0.0,
+    scores: tuple[jax.Array, jax.Array] | None = None,
+    negative_slope: float = 0.2,
 ) -> jax.Array:
     """softmax over incoming edges, then attention-weighted value sum.
 
@@ -65,6 +67,11 @@ def attention_aggregate(
       values: ``[N_pad, H, F]`` per-head node values (``Wh`` reshaped).
       edge_dropout_*: the reference applies dropout to attention
         coefficients after the softmax (GAT convention); same here.
+      scores: optional ``(s_src, s_dst)`` node tables such that ``logits ==
+        edge_scores(g, s_src, s_dst, negative_slope=negative_slope)`` —
+        lets the fused Pallas backward recompute α in CSC order instead of
+        paying the narrow [E, H] edge-permute gather.  Purely a speed hint;
+        gradients still flow through ``logits``.
 
     Returns ``[N_pad, H, F]`` aggregated features.
     """
@@ -76,9 +83,14 @@ def attention_aggregate(
         from graph_odenet_tpu.ops.pallas_gat import (
             gat_aggregate_pallas,
             gat_aggregate_pallas_dropout,
+            gat_aggregate_pallas_scores,
         )
 
         if edge_dropout_rng is None or edge_dropout_rate == 0.0:
+            if scores is not None:
+                return gat_aggregate_pallas_scores(
+                    g, negative_slope, logits, values, scores[0], scores[1]
+                )
             return gat_aggregate_pallas(g, logits, values)
         keep = jax.random.bernoulli(
             edge_dropout_rng, 1.0 - edge_dropout_rate, logits.shape

@@ -218,3 +218,168 @@ def test_fused_gat_hub_receiver():
         np.asarray(attention_aggregate(g, logits, wh)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def make_scores_case(seed=0, n=300, p=0.03, heads=8, feat=8, slope=0.2):
+    """Case where logits come from the decomposed GAT scores (edge_scores),
+    so the recompute-α backward hint applies."""
+    from graph_odenet_tpu.ops.sddmm import edge_scores
+
+    rng = np.random.default_rng(seed)
+    a = rng.random((n, n)) < p
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=n, normalize=None, node_multiple=128)
+    csr = prepare(g)
+    s_src = jnp.asarray(
+        rng.standard_normal((g.n_node_pad, heads)) * 1.5, jnp.float32
+    )
+    s_dst = jnp.asarray(
+        rng.standard_normal((g.n_node_pad, heads)) * 1.5, jnp.float32
+    )
+    logits = edge_scores(g, s_src, s_dst, negative_slope=slope)
+    wh = jnp.asarray(
+        rng.standard_normal((g.n_node_pad, heads, feat)), jnp.float32
+    )
+    return g, csr, logits, wh, s_src, s_dst
+
+
+@pytest.mark.parametrize(
+    "heads,feat",
+    [(8, 8), (4, 16), (1, 64),    # recompute path (H·F + 3H ≤ 128)
+     (1, 128), (2, 96)],          # no lane room → permuted-α fallback
+)
+def test_scores_hint_grads_match_reference(heads, feat):
+    """gat_aggregate_pallas_scores (recompute-α backward) == segment path."""
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_scores
+
+    g, csr, logits, wh, s_src, s_dst = make_scores_case(
+        seed=8, heads=heads, feat=feat
+    )
+
+    def loss_p(lg, w):
+        return jnp.sum(jnp.sin(
+            gat_aggregate_pallas_scores(csr, 0.2, lg, w, s_src, s_dst)
+        ))
+
+    def loss_r(lg, w):
+        return jnp.sum(jnp.sin(attention_aggregate(g, lg, w)))
+
+    np.testing.assert_allclose(
+        np.asarray(gat_aggregate_pallas_scores(
+            csr, 0.2, logits, wh, s_src, s_dst
+        )),
+        np.asarray(attention_aggregate(g, logits, wh)),
+        atol=2e-5, rtol=2e-5,
+    )
+    gp = jax.grad(loss_p, argnums=(0, 1))(logits, wh)
+    gr = jax.grad(loss_r, argnums=(0, 1))(logits, wh)
+    for a, b, name in [(gp[0], gr[0], "dlogits"), (gp[1], gr[1], "dwh")]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_scores_hint_zero_cotangent():
+    """The score tables are hints: their cotangents are identically zero
+    (their real gradient flows through logits via edge_scores' vjp)."""
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_scores
+
+    _, csr, logits, wh, s_src, s_dst = make_scores_case(seed=9)
+    gs = jax.grad(
+        lambda a, b: jnp.sum(
+            gat_aggregate_pallas_scores(csr, 0.2, logits, wh, a, b) ** 2
+        ),
+        argnums=(0, 1),
+    )(s_src, s_dst)
+    assert float(jnp.abs(gs[0]).max()) == 0.0
+    assert float(jnp.abs(gs[1]).max()) == 0.0
+
+
+def test_scores_hint_matches_permute_knob(monkeypatch):
+    """GODE_GAT_DWH=permute disables the recompute kernel; both paths give
+    the same dWh (knob wiring + numerical agreement)."""
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_scores
+
+    _, csr, logits, wh, s_src, s_dst = make_scores_case(seed=10, heads=4,
+                                                        feat=16)
+
+    def grads():
+        return jax.grad(
+            lambda lg, w: jnp.sum(jnp.sin(
+                gat_aggregate_pallas_scores(csr, 0.2, lg, w, s_src, s_dst)
+            )),
+            argnums=(0, 1),
+        )(logits, wh)
+
+    g_rec = grads()
+    monkeypatch.setenv("GODE_GAT_DWH", "permute")
+    g_perm = grads()
+    for a, b in zip(g_rec, g_perm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        )
+
+
+def test_scores_hint_hub_sender():
+    """Out-degree hub spans many E_CHUNKs in the CSC (sender-block) view —
+    exercises the recompute kernel's multi-chunk loop and overlap masking."""
+    from graph_odenet_tpu.ops.sddmm import edge_scores
+    from graph_odenet_tpu.ops.pallas_gat import gat_aggregate_pallas_scores
+
+    rng = np.random.default_rng(12)
+    n, heads, feat = 200, 4, 16
+    s = np.concatenate([np.full(2500, 60, np.int64), rng.integers(0, n, 400)])
+    r = np.concatenate([rng.integers(0, n, 2500), rng.integers(0, n, 400)])
+    g = from_edges(s, r, n_node=n, normalize=None, node_multiple=128)
+    csr = prepare(g)
+    s_src = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    s_dst = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    logits = edge_scores(g, s_src, s_dst)
+    wh = jnp.asarray(
+        rng.standard_normal((g.n_node_pad, heads, feat)), jnp.float32
+    )
+
+    def loss_p(lg, w):
+        return jnp.sum(jnp.sin(
+            gat_aggregate_pallas_scores(csr, 0.2, lg, w, s_src, s_dst)
+        ))
+
+    def loss_r(lg, w):
+        return jnp.sum(jnp.sin(attention_aggregate(g, lg, w)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(logits, wh)
+    gr = jax.grad(loss_r, argnums=(0, 1))(logits, wh)
+    for a, b, name in [(gp[0], gr[0], "dlogits"), (gp[1], gr[1], "dwh")]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_gat_layer_uses_scores_hint_on_csr():
+    """GATLayer on a PallasCSR adjacency trains through the scores-hint op
+    (deterministic eval path) and matches the Graph segment path."""
+    from graph_odenet_tpu.models.gat import GATLayer
+
+    rng = np.random.default_rng(13)
+    n = 200
+    a = rng.random((n, n)) < 0.04
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=n, normalize=None, node_multiple=128)
+    csr = prepare(g)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, 32)), jnp.float32)
+    layer = GATLayer(8, heads=8)
+    params = layer.init({"params": jax.random.PRNGKey(0)}, g, x)["params"]
+
+    def loss(params, adj):
+        return jnp.sum(
+            jnp.sin(layer.apply({"params": params}, adj, x)))
+
+    v_g, grad_g = jax.value_and_grad(loss)(params, g)
+    v_c, grad_c = jax.value_and_grad(loss)(params, csr)
+    np.testing.assert_allclose(float(v_g), float(v_c), atol=1e-4, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        ),
+        grad_g, grad_c,
+    )
