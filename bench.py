@@ -88,6 +88,7 @@ def main():
         except Exception:
             pass  # portable fallback: report the segment path
     edges_per_s = g.n_edge / t
+    dev = jax.devices()[0]
     print(
         json.dumps(
             {
@@ -95,6 +96,13 @@ def main():
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(t_seg / t, 4),
+                # Self-describing record (round-2 VERDICT weak #7): the tier
+                # and workload the number was measured at.
+                "precision": os.environ.get("GODE_PRECISION", "highest"),
+                "n_node": n_nodes,
+                "n_edge": g.n_edge,
+                "feat": feat,
+                "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
             }
         )
     )

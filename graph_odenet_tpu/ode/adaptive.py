@@ -167,6 +167,31 @@ def _attempt_step(func, tab, rtol, atol, s: _State) -> _State:
     )
 
 
+def _init_state(func, y0, t0, tab, rtol, atol, first_step) -> _State:
+    dtype = y0.dtype
+    f0 = func(t0, y0)
+    if first_step is None:
+        dt0 = _initial_step(func, t0, y0, f0, tab.order - 1, rtol, atol)
+        nfe0 = jnp.asarray(3, jnp.int32)  # f0 + the two probe evals
+    else:
+        dt0 = jnp.asarray(first_step, dtype)
+        nfe0 = jnp.asarray(1, jnp.int32)
+    return _State(
+        i=jnp.asarray(0, jnp.int32),
+        t=t0,
+        y=y0,
+        f=f0,
+        dt=dt0,
+        last_t=t0,
+        coeffs=_interp_fit(y0, y0, y0, f0 * 0, f0 * 0, jnp.asarray(0, dtype)),
+        facold=jnp.asarray(1e-4, dtype),
+        rejected=jnp.asarray(False),
+        nfe=nfe0,
+        n_accept=jnp.asarray(0, jnp.int32),
+        n_reject=jnp.asarray(0, jnp.int32),
+    )
+
+
 def odeint_adaptive(
     func: Callable,
     y0: jax.Array,
@@ -186,29 +211,7 @@ def odeint_adaptive(
     """
     dtype = y0.dtype
     ts = ts.astype(dtype)
-    t0 = ts[0]
-    f0 = func(t0, y0)
-    if first_step is None:
-        dt0 = _initial_step(func, t0, y0, f0, tab.order - 1, rtol, atol)
-        nfe0 = jnp.asarray(3, jnp.int32)  # f0 + the two probe evals
-    else:
-        dt0 = jnp.asarray(first_step, dtype)
-        nfe0 = jnp.asarray(1, jnp.int32)
-
-    init = _State(
-        i=jnp.asarray(0, jnp.int32),
-        t=t0,
-        y=y0,
-        f=f0,
-        dt=dt0,
-        last_t=t0,
-        coeffs=_interp_fit(y0, y0, y0, f0 * 0, f0 * 0, jnp.asarray(0, dtype)),
-        facold=jnp.asarray(1e-4, dtype),
-        rejected=jnp.asarray(False),
-        nfe=nfe0,
-        n_accept=jnp.asarray(0, jnp.int32),
-        n_reject=jnp.asarray(0, jnp.int32),
-    )
+    init = _init_state(func, y0, ts[0], tab, rtol, atol, first_step)
 
     def per_target(state: _State, t_target):
         def cond(s):
@@ -247,61 +250,42 @@ def odeint_adaptive_scan(
 ):
     """Reverse-differentiable adaptive integration (bounded scan + masking).
 
-    Same controller as ``odeint_dopri5`` but each output interval runs a
-    *fixed* ``max_steps_per_interval`` attempts, steps are clipped to land
-    exactly on the interval end (no dense-output in the autodiff path), and
-    finished intervals pass state through unchanged.
+    Controller-identical to ``odeint_adaptive``: the same
+    ``_attempt_step`` (natural step sizes, never clipped to output times)
+    with outputs *interpolated* from the dense-output quartic — each output
+    interval just runs a fixed ``max_steps_per_interval`` attempts with
+    finished intervals passing state through unchanged, so given a
+    sufficient step budget the trajectory, step sequence, and NFE match the
+    ``lax.while_loop`` solver exactly (pinned by
+    ``tests/test_ode.py::test_scan_matches_while``).
     """
     dtype = y0.dtype
     ts = ts.astype(dtype)
-    t0 = ts[0]
-    f0 = func(t0, y0)
-    if first_step is None:
-        dt0 = _initial_step(func, t0, y0, f0, tab.order - 1, rtol, atol)
-        nfe0 = jnp.asarray(3, jnp.int32)
-    else:
-        dt0 = jnp.asarray(first_step, dtype)
-        nfe0 = jnp.asarray(1, jnp.int32)
+    init = _init_state(func, y0, ts[0], tab, rtol, atol, first_step)
 
-    def per_target(carry, t_target):
-        t, y, f, dt, facold, nfe = carry
-
-        def step(inner, _):
-            t, y, f, dt, facold, rejected, nfe = inner
-            done = t >= t_target
-            dt_used = jnp.minimum(dt, t_target - t)
-            y1, f1, y_err, _ = rk_step(func, tab, t, y, f, dt_used)
-            err = jax.lax.stop_gradient(_error_ratio(y_err, y, y1, rtol, atol))
-            accept, dt_next, facold_new = _controller(
-                err, facold, rejected, jax.lax.stop_gradient(dt_used)
+    def per_target(state: _State, t_target):
+        def step(s, _):
+            done = s.t >= t_target
+            s1 = _attempt_step(func, tab, rtol, atol, s)
+            s_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(done, a, b), s, s1
             )
-            take = accept & ~done
-            sel = lambda a, b: jnp.where(take, a, b)
-            t = sel(t + dt_used, t)
-            y = jax.tree_util.tree_map(sel, y1, y)
-            f = jax.tree_util.tree_map(sel, f1, f)
-            dt = jnp.where(done, dt, dt_next)
-            facold = jnp.where(done, facold, facold_new)
-            rejected = jnp.where(done, rejected, ~accept)
-            nfe = nfe + jnp.where(done, 0, _nfe_per_step(tab))
-            return (t, y, f, dt, facold, rejected, nfe), None
+            return s_next, None
 
-        inner0 = (t, y, f, dt, facold, jnp.asarray(False), nfe)
-        (t, y, f, dt, facold, _, nfe), _ = jax.lax.scan(
-            step, inner0, None, length=max_steps_per_interval
+        s, _ = jax.lax.scan(
+            step, state._replace(i=jnp.asarray(0, jnp.int32)), None,
+            length=max_steps_per_interval,
         )
-        return (t, y, f, dt, facold, nfe), (y, t >= t_target)
+        y_t = _interp_eval(s.coeffs, s.last_t, s.t, t_target)
+        return s, (y_t, s.t >= t_target)
 
-    carry0 = (t0, y0, f0, dt0, jnp.asarray(1e-4, dtype), nfe0)
-    (t_fin, _, _, _, _, nfe), (ys_tail, reached) = jax.lax.scan(
-        per_target, carry0, ts[1:]
-    )
+    final, (ys_tail, reached) = jax.lax.scan(per_target, init, ts[1:])
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
     # success=False: an interval ran out of ``max_steps_per_interval``
-    # attempts before reaching its target time (ys row = last accepted y).
+    # attempts before reaching its target time (ys row extrapolated).
     stats = dict(
-        nfe=nfe, n_accept=jnp.asarray(-1), n_reject=jnp.asarray(-1),
-        success=jnp.all(reached), t_reached=t_fin,
+        nfe=final.nfe, n_accept=final.n_accept, n_reject=final.n_reject,
+        success=jnp.all(reached), t_reached=final.t,
     )
     return ys, stats
 

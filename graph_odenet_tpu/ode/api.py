@@ -69,7 +69,7 @@ _ADAMS = {"explicit_adams": False, "implicit_adams": True, "fixed_adams": True}
 
 SOLVERS = tuple(_FIXED) + tuple(_ADAMS) + tuple(_ADAPTIVE) + tuple(
     f"{m}_scan" for m in _ADAPTIVE
-) + ("scipy_solver",)
+) + ("adams", "adams_scan", "scipy_solver")
 
 
 def _ravel_problem(func, y0, args):
@@ -134,6 +134,7 @@ def odeint(
     first_step: float | None = None,
     return_stats: bool = False,
     scipy_method: str = "RK45",
+    max_order: int = 12,
 ):
     """Integrate ``dy/dt = func(t, y, *args)`` over times ``ts`` (increasing).
 
@@ -187,6 +188,23 @@ def odeint(
             corrector=_ADAMS[method],
         )
         stats = dict(nfe=nfe)
+    elif method in ("adams", "adams_scan"):
+        # torchdiffeq's "adams": variable-coefficient, variable-order
+        # (1..max_order) Adams–Bashforth–Moulton (Shampine–Gordon).
+        from graph_odenet_tpu.ode import vcabm
+
+        if method == "adams":
+            ys_flat, stats = vcabm.odeint_vcabm(
+                f_flat, y0_flat, ts, rtol=rtol, atol=atol,
+                max_steps=max_steps, first_step=first_step,
+                max_order=max_order,
+            )
+        else:
+            ys_flat, stats = vcabm.odeint_vcabm_scan(
+                f_flat, y0_flat, ts, rtol=rtol, atol=atol,
+                max_steps_per_interval=max_steps_per_interval,
+                first_step=first_step, max_order=max_order,
+            )
     elif method in _ADAPTIVE:
         ys_flat, stats = adaptive.odeint_adaptive(
             f_flat, y0_flat, ts, tab=_ADAPTIVE[method],

@@ -48,7 +48,9 @@ class ShardedTrainConfig:
     weight_decay: float = 5e-4
     epochs: int = 30
     patience: int = 100
-    eval_every: int = 1
+    # None = auto: every epoch on small graphs (reference R7 behaviour),
+    # every 5 at arxiv scale where a full-graph eval costs ~a train step.
+    eval_every: Optional[int] = None
     seed: int = 0
     n_parts: Optional[int] = None   # default: all visible devices
     edge_multiple: int = 1024
@@ -156,6 +158,7 @@ def fit_sharded_node_classifier(
             )
             start_epoch = int(state["epoch"]) + 1
 
+    eval_every = cfg.eval_every or (1 if g.n_edge < 200_000 else 5)
     best = dict(val_loss=float("inf"), val_acc=0.0, test_acc=0.0, epoch=-1)
     best_params = params
     bad = 0
@@ -170,7 +173,7 @@ def fit_sharded_node_classifier(
             dt = (time.perf_counter() - t_step) * 1e3
             step_ms = dt if step_ms is None else min(step_ms, dt)
         losses.append(loss)
-        if epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+        if epoch % eval_every == 0 or epoch == cfg.epochs - 1:
             m = {k: float(v) for k, v in evaluate(params).items()}
             if m["val_loss"] < best["val_loss"]:
                 best = dict(

@@ -51,13 +51,46 @@ def main(trace=False):
     x = jnp.asarray(rng.standard_normal((N, feat)), jnp.float32)
     msgs = jnp.asarray(rng.standard_normal((E, feat)), jnp.float32)
 
+    dev = jax.devices()[0]
     res = dict(n_edge=g.n_edge, e_pad=E, n_node_pad=N, feat=feat,
-               precision=os.environ.get("GODE_PRECISION", "highest"))
+               precision=os.environ.get("GODE_PRECISION", "highest"),
+               device=f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+               n_devices=jax.device_count(),
+               memory_stats={k: v for k, v in
+                             (dev.memory_stats() or {}).items()
+                             if "limit" in k} if hasattr(dev, "memory_stats")
+                            else None)
 
-    # Hardware ceilings, measured not assumed.
+    # Hardware ceilings, measured not assumed.  Round-2 VERDICT weak #1:
+    # the single elementwise-stream probe could under-report the true HBM
+    # ceiling (v5e datasheet ~819 GB/s), so cross-check it against three
+    # INDEPENDENT HBM-bound workloads; the ceiling used by the roofline is
+    # the max of all probes.
     big = msgs  # E x 128 f32 = 711 MB
     res["stream_ms"] = t(jax.jit(lambda a: a * 1.000001), big)
     res["stream_GBps"] = 2 * big.nbytes / res["stream_ms"] / 1e6
+    # Probe 2: read-only reduction (no output traffic; 1x bytes).
+    res["reduce_sum_ms"] = t(jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32)),
+                             big)
+    res["reduce_sum_GBps"] = big.nbytes / res["reduce_sum_ms"] / 1e6
+    # Probe 3: K-huge skinny matmul — FLOP-light, bandwidth-heavy.
+    # [256, K] @ [K, 256] reads K*(256+256)*4 B; f32 FLOPs are far below
+    # the MXU ceiling at this shape, so time ≈ HBM read time.
+    K = 2_000_000
+    mm_a = jnp.asarray(rng.standard_normal((256, K)), jnp.float32)
+    mm_b = jnp.asarray(rng.standard_normal((K, 256)), jnp.float32)
+    res["matmul_ms"] = t(jax.jit(lambda a, b: a @ b), mm_a, mm_b)
+    res["matmul_GBps"] = (mm_a.nbytes + mm_b.nbytes) / res["matmul_ms"] / 1e6
+    del mm_a, mm_b
+    # Probe 4: multi-GB elementwise stream (amortises launch overhead).
+    giant = jnp.zeros((4096, 128 * 1024), jnp.float32)  # 2 GiB
+    res["stream4g_ms"] = t(jax.jit(lambda a: a + 1.0), giant)
+    res["stream4g_GBps"] = 2 * giant.nbytes / res["stream4g_ms"] / 1e6
+    del giant
+    res["hbm_ceiling_GBps"] = max(
+        res["stream_GBps"], res["reduce_sum_GBps"], res["matmul_GBps"],
+        res["stream4g_GBps"],
+    )
     res["take_ms"] = t(jax.jit(lambda a: jnp.take(a, csr.senders, axis=0)), x)
     res["take_GBps"] = (E * feat * 4 + E * feat * 4) / res["take_ms"] / 1e6
 
@@ -67,9 +100,10 @@ def main(trace=False):
         lambda m: _segment_reduce(m, csr.rel, csr.blk_ptr, csr.n_blocks)
     )
     res["reduce_fwd_ms"] = t(red, msgs)
-    # Reduce roofline: stream E·F·4B in + (N·F·4B out, negligible).
+    # Reduce roofline: stream E·F·4B in + (N·F·4B out, negligible),
+    # against the best cross-checked HBM ceiling.
     res["reduce_bound_ms"] = (
-        msgs.nbytes / (res["stream_GBps"] * 1e6)
+        msgs.nbytes / (res["hbm_ceiling_GBps"] * 1e6)
     )
     fwd = jax.jit(lambda xx: spmm_pallas(csr, xx))
     res["fwd_ms"] = t(fwd, x)
@@ -92,7 +126,7 @@ def main(trace=False):
         json.dump({k: round(v, 3) if isinstance(v, float) else v
                    for k, v in res.items()}, f, indent=1)
     for k, v in res.items():
-        print(f"{k:22s} {v if isinstance(v, int) else round(v, 3)}")
+        print(f"{k:22s} {round(v, 3) if isinstance(v, float) else v}")
 
 
 if __name__ == "__main__":

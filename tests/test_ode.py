@@ -153,10 +153,11 @@ def test_other_adaptive_methods_solve_oscillator(method):
     # exceed the tolerance by a modest constant — same as torchdiffeq.
     # dopri8 takes ~0.7-radian steps here, so the 4th-order dense-output
     # quartic (same interpolant torchdiffeq uses for dopri8) dominates the
-    # mid-interval error; the scan variant steps exactly onto each output.
+    # mid-interval error — in both variants, since the scan solver shares
+    # the while-loop solver's natural (unclipped) steps + interpolation.
     tol = {"bosh3": 1e-4, "bosh3_scan": 1e-4,
            "adaptive_heun": 2e-4, "fehlberg2": 5e-4,
-           "dopri8": 5e-4, "dopri8_scan": 1e-6}[method]
+           "dopri8": 5e-4, "dopri8_scan": 5e-4}[method]
     np.testing.assert_allclose(np.asarray(ys), np.asarray(expected), atol=tol)
     assert int(stats["nfe"]) > 0
 
@@ -500,6 +501,126 @@ def test_reverse_time_traced_grid():
         # Same jitted program, increasing grid: direction = +1 identity.
         fwd = solve(jnp.array([0.0, 1.0]))
         np.testing.assert_allclose(float(fwd[-1, 0]), 1 / np.e, rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "dopri8"])
+def test_scan_matches_while(method):
+    """Given a sufficient step budget the scan solver is controller-identical
+    to the while-loop solver: same trajectory, same accepted/rejected step
+    counts, same NFE (VERDICT r2 #8 — the differentiable path no longer
+    perturbs the controller by clipping steps to output times)."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 2 * np.pi, 9)
+    kw = dict(rtol=1e-6, atol=1e-8, return_stats=True)
+    ys_w, s_w = odeint(oscillator, y0, ts, method=method, **kw)
+    ys_s, s_s = odeint(oscillator, y0, ts, method=f"{method}_scan",
+                       max_steps_per_interval=256, **kw)
+    assert int(s_w["nfe"]) == int(s_s["nfe"])
+    assert int(s_w["n_accept"]) == int(s_s["n_accept"])
+    assert int(s_w["n_reject"]) == int(s_s["n_reject"])
+    np.testing.assert_allclose(
+        np.asarray(ys_w), np.asarray(ys_s), rtol=1e-6, atol=1e-9
+    )
+
+
+# --- VCABM: torchdiffeq's adaptive-order "adams" (VERDICT r2 #6) -----------
+
+
+@pytest.mark.parametrize("method", ["adams", "adams_scan"])
+def test_vcabm_solves_oscillator(method):
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 2 * np.pi, 20)
+    ys, stats = odeint(
+        oscillator, y0, ts, method=method, rtol=1e-6, atol=1e-8,
+        return_stats=True, max_steps_per_interval=128,
+    )
+    expected = oscillator_sol(np.asarray(ts)).T
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(expected), atol=2e-4)
+    assert bool(stats["success"])
+
+
+@pytest.mark.parametrize("method", ["adams", "adams_scan"])
+def test_vcabm_solves_exp_decay_tight(method):
+    y0 = jnp.array([1.0, 2.0])
+    ys = odeint(exp_decay, y0, TS, method=method, rtol=1e-9, atol=1e-11,
+                max_steps_per_interval=128)
+    expected = np.stack(
+        [exp_decay_sol(t, np.asarray(y0)) for t in np.asarray(TS)]
+    )
+    np.testing.assert_allclose(np.asarray(ys), expected, atol=1e-7)
+
+
+def test_vcabm_order_adapts_up():
+    """On a long smooth integration the order controller must climb well
+    past the starting order 1 (the point of variable order)."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 4 * np.pi])
+    _, stats = odeint(oscillator, y0, ts, method="adams",
+                      rtol=1e-9, atol=1e-11, return_stats=True)
+    assert bool(stats["success"])
+    assert int(stats["final_order"]) >= 4, int(stats["final_order"])
+
+
+def test_vcabm_fewer_nfe_than_dopri5():
+    """The reason multistep exists: ~2 dynamics evals per accepted step vs
+    dopri5's 6, so on a smooth problem at tight tolerance VCABM wins NFE."""
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 2 * np.pi])
+    nfe = {}
+    for m in ("adams", "dopri5"):
+        _, stats = odeint(oscillator, y0, ts, method=m,
+                          rtol=1e-8, atol=1e-10, return_stats=True)
+        nfe[m] = int(stats["nfe"])
+    assert nfe["adams"] < nfe["dopri5"], nfe
+
+
+def test_vcabm_time_dependent_dynamics():
+    y0 = jnp.array([0.0])
+    ts = jnp.linspace(0.0, 3.0, 7)
+    ys = odeint(forced, y0, ts, method="adams", rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ys[:, 0]), 1.0 - np.cos(np.asarray(ts)), atol=1e-5
+    )
+
+
+def test_grad_through_vcabm_scan():
+    def loss(k):
+        ys = odeint(
+            lambda t, y: -k * y, jnp.array([1.0]), jnp.array([0.0, 1.0]),
+            method="adams_scan", rtol=1e-7, atol=1e-9,
+            max_steps_per_interval=128,
+        )
+        return ys[-1, 0]
+
+    g = jax.grad(loss)(jnp.asarray(0.7))
+    np.testing.assert_allclose(float(g), -np.exp(-0.7), rtol=1e-4)
+
+
+def test_vcabm_reverse_time():
+    y0 = jnp.array([1.0])
+    ys = odeint(lambda t, y: -y, y0, jnp.array([1.0, 0.0]), method="adams",
+                rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(ys[-1, 0]), np.e, rtol=1e-5)
+
+
+def test_vcabm_exhaustion_reported():
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 2 * np.pi])
+    _, stats = odeint(oscillator, y0, ts, method="adams", rtol=1e-9,
+                      atol=1e-12, max_steps=3, return_stats=True)
+    assert not bool(stats["success"])
+    assert float(stats["t_reached"]) < float(ts[-1])
+
+
+def test_vcabm_gamma_star_constants():
+    """γ* satisfies γ*_0 = 1, Σ_{j≤m} γ*_j/(m−j+1) = 0 (Hairer–Nørsett–
+    Wanner); first values are the published 1, −1/2, −1/12, −1/24…"""
+    from graph_odenet_tpu.ode.vcabm import gamma_star
+
+    g = gamma_star(6)
+    np.testing.assert_allclose(
+        g, [1.0, -1 / 2, -1 / 12, -1 / 24, -19 / 720, -3 / 160], atol=1e-15
+    )
 
 
 @pytest.mark.parametrize("method", ["dopri5", "dopri5_scan"])
