@@ -57,7 +57,7 @@ from graph_odenet_tpu.ops.pallas_spmm import (
     PallasCSR,
     _is_tpu,
     _segment_reduce_recompute,
-    _segment_reduce_weighted,
+    segment_reduce_csr,
 )
 
 # Precision tiers (GODE_PRECISION, shared with pallas_spmm):
@@ -126,6 +126,7 @@ __all__ = [
     "gat_aggregate_pallas",
     "gat_aggregate_pallas_dropout",
     "gat_aggregate_pallas_scores",
+    "gat_aggregate_pallas_scores_dropout",
 ]
 
 _NEG = -1e30  # python float: jnp scalars would be captured consts in-kernel
@@ -1016,37 +1017,47 @@ def _gat_bwd_call(
     )(csr.blk_ptr, logits3d, vals, csr.rel, dmask3d, g_blk, mlb_blk)
 
 
-def _use_recompute(heads, feat, scores_ml):
+def _use_recompute(heads, feat, scores_ml, with_dropout=False):
     """The recompute-α CSC path applies when the caller supplied the
-    decomposed score tables AND the gather table has lane room for them."""
+    decomposed score tables AND the gather table has lane room for them
+    (one extra receiver-id lane when the dropout mask is regenerated)."""
     return (
         scores_ml is not None
-        and heads * feat + 3 * heads <= 128
+        and heads * feat + 3 * heads + (1 if with_dropout else 0) <= 128
         and os.environ.get("GODE_GAT_DWH", "auto").lower() != "permute"
     )
 
 
-def _dwh_csc_recompute(csr, g, heads, feat, scores_ml):
+def _dwh_csc_recompute(csr, g, heads, feat, scores_ml, dropout=None):
     """dWh via the recompute-α CSC kernel — NO [E, H] edge permute: s_dst,
     m, l ride the g[recv] wide gather (spare lanes of the same table) and
     s_src is sender-block-local (see pallas_spmm._segment_reduce_recompute).
     Exact for the decomposed GAT scores ``LeakyReLU(s_src[s] + s_dst[r])``
-    the reference's layers use (SURVEY.md §3.3)."""
+    the reference's layers use (SURVEY.md §3.3).  ``dropout=(seed, rate)``
+    additionally regenerates the counter-based attention-dropout scale
+    in-kernel (ops.dropmask) — the receiver id rides the table as one more
+    lane, so training with the reference's attn dropout keeps this path."""
     s_src, s_dst, m, l, slope = scores_ml
     hf = heads * feat
     n = csr.n_node_pad
     nb_rows = csr.n_blocks * BLOCK_ROWS
+    cols = [
+        g.reshape(g.shape[0], hf),
+        s_dst.astype(jnp.float32),
+        m,
+        l,
+    ]
+    extra = 0
+    if dropout is not None:
+        # Receiver-id lane (f32-exact for N < 2^24): the in-kernel hash
+        # keys on (sender, receiver, head) — ops.dropmask.
+        cols.append(
+            jnp.arange(g.shape[0], dtype=jnp.float32)[:, None]
+        )
+        extra = 1
     table = jnp.pad(
-        jnp.concatenate(
-            [
-                g.reshape(g.shape[0], hf),
-                s_dst.astype(jnp.float32),
-                m,
-                l,
-            ],
-            axis=1,
-        ),
-        ((0, 0), (0, 128 - hf - 3 * heads)),
+        jnp.concatenate(cols, axis=1),
+        ((0, 0), (0, 128 - hf - 3 * heads - extra)),
     )                                                            # [N, 128]
     msgs = jnp.take(table, csr.t_receivers, axis=0)              # [E_pad, 128]
     src_blk = jnp.pad(
@@ -1055,7 +1066,7 @@ def _dwh_csc_recompute(csr, g, heads, feat, scores_ml):
     )
     out = _segment_reduce_recompute(
         msgs, src_blk, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
-        heads, feat, slope, interpret=not _is_tpu(),
+        heads, feat, slope, dropout=dropout, interpret=not _is_tpu(),
     )
     return out[:n, :hf].reshape(n, heads, feat)
 
@@ -1079,8 +1090,8 @@ def _dwh_csc(csr, alpha, g, heads, feat):
         # Single head: the lane expansion is a plain broadcast — XLA fuses
         # it into the gather's elementwise consumer for free; the weighted
         # kernel's MXU expansion would be 3 wasted outer-product passes.
-        return _segment_reduce(
-            gv_csc * alpha_csc, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
+        return segment_reduce_csr(
+            csr, gv_csc * alpha_csc, transpose=True,
             interpret=not _is_tpu(),
         )[: csr.n_node_pad, :hf].reshape(csr.n_node_pad, heads, feat)
     # α (already α·D under dropout) permuted to CSC edge order, streamed
@@ -1089,17 +1100,18 @@ def _dwh_csc(csr, alpha, g, heads, feat):
     # sub-chunk) — no [E, L] scale array in HBM (the XLA-side expand
     # measured ~12 ms at arxiv scale for 45 MB of information).
     alpha3d = _to3d(alpha_csc, e_pad)
-    return _segment_reduce_weighted(
-        gv_csc, alpha3d, csr.t_rel, csr.t_blk_ptr, csr.n_blocks, feat,
+    return segment_reduce_csr(
+        csr, gv_csc, transpose=True, alpha3d=alpha3d, feat=feat,
         interpret=not _is_tpu(),
     )[: csr.n_node_pad, :hf].reshape(csr.n_node_pad, heads, feat)
 
 
-def _bwd_fused(csr, res, g, dmask=None, scores=None):
+def _bwd_fused(csr, res, g, dmask=None, scores=None, drop=None):
     """Fused α/dlogit backward — one Pallas pass, then the CSC dWh
     reduction: recompute-α kernel when the decomposed score tables are
-    available (``scores=(s_src, s_dst, slope)``, no dropout), else the
-    weighted reduce over the permuted α."""
+    available (``scores=(s_src, s_dst, slope)``; with ``drop=(seed, rate)``
+    the counter-based dropout is regenerated in-kernel so the fast path
+    covers training too), else the weighted reduce over the permuted α."""
     logits, wh, out, m, l = res
     e_orig = logits.shape[0]
     e_pad = csr.senders.shape[0]
@@ -1143,11 +1155,11 @@ def _bwd_fused(csr, res, g, dmask=None, scores=None):
     )
     dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
     scores_ml = (
-        None if (scores is None or dmask is not None)
+        None if (scores is None or (dmask is not None and drop is None))
         else (scores[0], scores[1], m, l, scores[2])
     )
-    if _use_recompute(heads, feat, scores_ml):
-        dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml)
+    if _use_recompute(heads, feat, scores_ml, with_dropout=drop is not None):
+        dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml, dropout=drop)
     else:
         alpha = al3.reshape(heads, e_pad).T         # [E_pad, H] (α·D if drop)
         dwh = _dwh_csc(csr, alpha, g, heads, feat)
@@ -1159,7 +1171,7 @@ def _gat_fwd(csr, logits, wh):
     return out, (logits, wh, out, m, l)
 
 
-def _bwd_xla(csr, res, g, dmask=None, scores=None):
+def _bwd_xla(csr, res, g, dmask=None, scores=None, drop=None):
     """Gather-based backward fallback: α from the saved softmax statistics
     and the per-edge dots via [E, H·F] XLA gathers — the costs the fused
     kernel's one-hot MXU contractions avoid."""
@@ -1193,11 +1205,11 @@ def _bwd_xla(csr, res, g, dmask=None, scores=None):
     if dmask is not None:
         alpha = alpha * d_p        # the CSC dWh pass reduces α·D coefficients
     scores_ml = (
-        None if (scores is None or dmask is not None)
+        None if (scores is None or (dmask is not None and drop is None))
         else (scores[0], scores[1], m, l, scores[2])
     )
-    if _use_recompute(heads, feat, scores_ml):
-        dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml)
+    if _use_recompute(heads, feat, scores_ml, with_dropout=drop is not None):
+        dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml, dropout=drop)
     else:
         dwh = _dwh_csc(csr, alpha, g, heads, feat)
     return dlogits.astype(logits.dtype), dwh.astype(wh.dtype)
@@ -1263,3 +1275,67 @@ def _gat_drop_bwd(csr, res, g):
 
 
 gat_aggregate_pallas_dropout.defvjp(_gat_drop_fwd, _gat_drop_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def gat_aggregate_pallas_scores_dropout(
+    csr: PallasCSR, negative_slope: float, rate: float,
+    logits: jax.Array, wh: jax.Array, s_src: jax.Array, s_dst: jax.Array,
+    seed: jax.Array,
+) -> jax.Array:
+    """Scores-hinted aggregation with *regenerable* attention dropout.
+
+    The dropout scale is the counter-based mask ``ops.dropmask.
+    attention_dropout_scale(seed, senders, receivers, H, rate)`` — a pure
+    function of (sender, receiver, head, seed).  That lets the backward's
+    CSC dWh pass regenerate the mask in sender order inside the recompute
+    kernel instead of paying the narrow [E, H] α·D permute, so the fast
+    dWh path covers the reference's training configuration (attn dropout
+    0.6; round-2 VERDICT #2).  The residuals carry only the u32 seed — no
+    [E, H] mask array is stored.
+
+    ``seed``: traced u32 scalar (``dropmask.seed_from_key(rng)``).
+    """
+    from graph_odenet_tpu.ops import dropmask as _dm
+
+    heads = logits.shape[1]
+    dmask = _dm.attention_dropout_scale(
+        seed, csr.senders, csr.receivers, heads, rate
+    )
+    out, _, _ = _fwd_impl(csr, logits, wh, dmask)
+    return out
+
+
+def _gat_sd_fwd(csr, slope, rate, logits, wh, s_src, s_dst, seed):
+    from graph_odenet_tpu.ops import dropmask as _dm
+
+    heads = logits.shape[1]
+    dmask = _dm.attention_dropout_scale(
+        seed, csr.senders, csr.receivers, heads, rate
+    )
+    out, m, l = _fwd_impl(csr, logits, wh, dmask)
+    return out, (logits, wh, out, m, l, s_src, s_dst, seed)
+
+
+def _gat_sd_bwd(csr, slope, rate, res, g):
+    import numpy as np
+
+    from graph_odenet_tpu.ops import dropmask as _dm
+
+    logits, wh, out, m, l, s_src, s_dst, seed = res
+    heads = logits.shape[1]
+    dmask = _dm.attention_dropout_scale(
+        seed, csr.senders, csr.receivers, heads, rate
+    )
+    fn = _bwd_fused if _use_fused() else _bwd_xla
+    dlogits, dwh = fn(
+        csr, (logits, wh, out, m, l), g, dmask,
+        scores=(s_src, s_dst, slope), drop=(seed, rate),
+    )
+    zero_seed = np.zeros(seed.shape, jax.dtypes.float0)
+    return (
+        dlogits, dwh, jnp.zeros_like(s_src), jnp.zeros_like(s_dst), zero_seed
+    )
+
+
+gat_aggregate_pallas_scores_dropout.defvjp(_gat_sd_fwd, _gat_sd_bwd)

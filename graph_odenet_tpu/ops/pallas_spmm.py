@@ -94,6 +94,14 @@ class PallasCSR:
     t_rel: jax.Array          # i32[E_pad/128, 128]  sender − 128·block (CSC)
     t_blk_ptr: jax.Array      # i32[NB+1]
     t_perm: jax.Array         # i32[E_pad]  CSC position → original edge id
+    # Window-schedule metadata for the pipelined reduce (one entry per
+    # 128-aligned E_CHUNK window per receiver block; see _sched_kernel).
+    rel3: jax.Array           # i32[E_pad/E_CHUNK + 1, SUBS, 128] rel, 3-D view
+    sched_blk: jax.Array      # i32[I]  out block of window i (nondecreasing)
+    sched_orig: jax.Array     # i32[I]  128-aligned window start
+    t_rel3: jax.Array
+    t_sched_blk: jax.Array
+    t_sched_orig: jax.Array
     n_node_pad: int = dataclasses.field(metadata=dict(static=True))
     n_edge: int = dataclasses.field(metadata=dict(static=True))
     block_rows: int = dataclasses.field(
@@ -122,6 +130,37 @@ def _build_view(dst, src, w, n_pad):
     return src.astype(np.int32), w.astype(np.float32), rel, blk_ptr, order
 
 
+def _build_schedule(blk_ptr, e_pad):
+    """Global window schedule: one (block, 128-aligned start) entry per
+    E_CHUNK window each receiver block's edge span touches.
+
+    Empty blocks still get one (fully masked) entry so their output rows
+    are zeroed by the first-visit write.  Block ids are nondecreasing, as
+    the output-revisit machinery requires.
+    """
+    ptr = blk_ptr.astype(np.int64)
+    p0, p1 = ptr[:-1], ptr[1:]
+    s0 = p0 // 128 * 128
+    n_win = np.maximum(1, -(-(p1 - s0) // E_CHUNK))
+    blks = np.repeat(np.arange(len(n_win), dtype=np.int32), n_win)
+    # Window k within its block starts at s0[b] + k*E_CHUNK.
+    csum = np.zeros(len(n_win) + 1, np.int64)
+    np.cumsum(n_win, out=csum[1:])
+    k = np.arange(csum[-1], dtype=np.int64) - csum[blks]
+    origs = (s0[blks] + k * E_CHUNK).astype(np.int32)
+    return blks, origs
+
+
+def _rel3_view(rel, e_pad):
+    """[E_pad/128, 128] rel → [C+1, SUBS, 128] leading-dim-sliceable view
+    (one zero pad chunk so the 2-chunk window DMA never runs off the end)."""
+    c = -(-e_pad // E_CHUNK)
+    pad_rows = (c + 1) * SUBS - e_pad // 128
+    return np.concatenate(
+        [rel, np.zeros((pad_rows, 128), np.int32)]
+    ).reshape(c + 1, SUBS, 128)
+
+
 def prepare(g: Graph) -> PallasCSR:
     """Host-side, one-time tiling of a Graph for the Pallas kernel."""
     if g.n_node_pad % 8:
@@ -147,17 +186,27 @@ def prepare(g: Graph) -> PallasCSR:
     # rel is stored 2-D [E_pad/128, 128] so chunk DMAs are row slices whose
     # start (a multiple of E_CHUNK/128 = 8 rows) satisfies Mosaic's (8, 128)
     # int32 tiling alignment.
+    f_rel2d = pad(f_rel).reshape(-1, 128)
+    b_rel2d = pad(b_rel).reshape(-1, 128)
+    f_sblk, f_sorig = _build_schedule(f_ptr, e_pad)
+    b_sblk, b_sorig = _build_schedule(b_ptr, e_pad)
     csr = PallasCSR(
         senders=jnp.asarray(pad(f_src)),
         receivers=jnp.asarray(pad(r[f_order].astype(np.int32))),
         weight=jnp.asarray(pad(f_w)),
-        rel=jnp.asarray(pad(f_rel).reshape(-1, 128)),
+        rel=jnp.asarray(f_rel2d),
         blk_ptr=jnp.asarray(f_ptr),
         t_receivers=jnp.asarray(pad(b_src)),
         t_weight=jnp.asarray(pad(b_w)),
-        t_rel=jnp.asarray(pad(b_rel).reshape(-1, 128)),
+        t_rel=jnp.asarray(b_rel2d),
         t_blk_ptr=jnp.asarray(b_ptr),
         t_perm=jnp.asarray(pad(b_order.astype(np.int32))),
+        rel3=jnp.asarray(_rel3_view(f_rel2d, e_pad)),
+        sched_blk=jnp.asarray(f_sblk),
+        sched_orig=jnp.asarray(f_sorig),
+        t_rel3=jnp.asarray(_rel3_view(b_rel2d, e_pad)),
+        t_sched_blk=jnp.asarray(b_sblk),
+        t_sched_orig=jnp.asarray(b_sorig),
         n_node_pad=g.n_node_pad,
         n_edge=g.n_edge,
         block_rows=BLOCK_ROWS,
@@ -425,6 +474,214 @@ def _segment_reduce(
     )(blk_ptr, msgs, rel, alpha3d)
 
 
+def _sched_kernel(
+    sblk_ref,           # scalar prefetch: i32[I] out block per window
+    sorig_ref,          # scalar prefetch: i32[I] 128-aligned window start
+    ptr_ref,            # scalar prefetch: i32[NB+1] block edge spans
+    msgs_hbm,           # ANY/HBM [E_pad, F]
+    rel3_hbm,           # i32 ANY/HBM [C+1, SUBS, 128]
+    alpha4_hbm,         # f32 ANY/HBM [H, C+1, SUBS, 128] (dummy [1,1,1,128])
+    out_ref,            # VMEM [BLOCK_ROWS, F] — revisit-accumulated
+    msg_scratch,        # VMEM [2, E_CHUNK, F]
+    rel_scratch,        # VMEM [2, 2, SUBS, 128]
+    alpha_scratch,      # VMEM [2, H, 2, SUBS, 128] (or [2,1,1,1,128] dummy)
+    sems,               # DMA sems [2, 2 (+1)]
+    *,
+    heads: int,         # weighted: number of per-edge scale rows (0 = plain)
+    feat: int,          # weighted: lanes [h·feat, (h+1)·feat) scale by α_h
+    n_windows: int,
+):
+    """Schedule-driven segment reduce (round-3 redesign).
+
+    The per-receiver-block grid paid two structural DMA costs at arxiv
+    scale (measured, scripts/exp_reduce_floor.py): E_CHUNK-aligned window
+    starts re-read ~50% of the edge stream at block boundaries (2679 chunk
+    iterations vs the 1357 minimum → 1.40 GB DMA for a 0.71 GB payload),
+    and each block's first chunk waited on a just-issued DMA because manual
+    DMAs issued inside a kernel body do not pipeline across grid steps
+    (1323 exposed-latency bubbles).  Here the grid runs over a host-built
+    global window list (`PallasCSR.sched_*`): window starts are 128-aligned
+    (waste ≤127 edges/block), every step issues step i+1's copies before
+    waiting on its own (the pipeline crosses grid steps — one warmup bubble
+    total), and the output BlockSpec's index_map reads the window's
+    receiver block from the scalar-prefetched schedule, accumulating
+    revisited blocks in VMEM and flushing on block change.  Measured 1.57×
+    the per-block kernel at f32-exact precision (6.57 → 4.17 ms).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    weighted = heads > 0
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    e_pad = msgs_hbm.shape[0]
+
+    def issue(j, s):
+        orig = sorig_ref[j]
+        # The last block's final window may overhang E_pad (starts are
+        # 128-aligned, E_pad is E_CHUNK-aligned): clamp the DMA window
+        # left; masking below uses absolute edge ids, so the re-covered
+        # edges stay excluded.
+        dma = jnp.minimum(orig, jnp.int32(e_pad - E_CHUNK))
+        c0 = dma // jnp.int32(E_CHUNK)
+        copies = [
+            pltpu.make_async_copy(
+                msgs_hbm.at[pl.ds(dma, E_CHUNK), :],
+                msg_scratch.at[s],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                rel3_hbm.at[pl.ds(c0, 2)],
+                rel_scratch.at[s],
+                sems.at[s, 1],
+            ),
+        ]
+        if weighted:
+            copies.append(
+                pltpu.make_async_copy(
+                    alpha4_hbm.at[:, pl.ds(c0, 2)],
+                    alpha_scratch.at[s],
+                    sems.at[s, 2],
+                )
+            )
+        return copies
+
+    @pl.when(i == 0)
+    def _():
+        for cp in issue(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < n_windows)
+    def _():
+        for cp in issue(i + 1, jax.lax.rem(i + 1, jnp.int32(2))):
+            cp.start()
+
+    for cp in issue(i, slot):
+        cp.wait()
+
+    b = sblk_ref[i]
+    orig = sorig_ref[i]
+    dma = jnp.minimum(orig, jnp.int32(e_pad - E_CHUNK))
+    c0 = dma // jnp.int32(E_CHUNK)
+    p0 = ptr_ref[b]
+    p1 = ptr_ref[b + 1]
+    lo = jnp.maximum(p0, orig)
+    hi = jnp.minimum(p1, orig + jnp.int32(E_CHUNK))
+    first = orig == (p0 // 128 * 128)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    if weighted:
+        lanes_i = jax.lax.broadcasted_iota(
+            jnp.int32, (heads, msg_scratch.shape[-1]), 1
+        )
+        heads_i = jax.lax.broadcasted_iota(
+            jnp.int32, (heads, msg_scratch.shape[-1]), 0
+        )
+        head_expand = ((lanes_i // feat) == heads_i) & (
+            lanes_i < heads * feat
+        )
+
+    acc = jnp.where(first, 0.0, out_ref[:].astype(jnp.float32))
+    for sub in range(SUBS):
+        e0 = dma + sub * 128
+        e_idx = lane + e0
+        valid = (e_idx >= lo) & (e_idx < hi)
+        r = e0 // 128 - c0 * SUBS          # rel row in the 2-chunk slice
+        rel_row = rel_scratch[
+            slot, r // SUBS, pl.ds(jax.lax.rem(r, jnp.int32(SUBS)), 1), :
+        ]                                                    # [1, 128]
+        mask = (rows == rel_row) & valid
+        m_sub = msg_scratch[slot, pl.ds(sub * 128, 128), :]
+        if weighted:
+            a_sub = alpha_scratch[
+                slot, :, r // SUBS,
+                pl.ds(jax.lax.rem(r, jnp.int32(SUBS)), 1), :,
+            ].reshape(heads, 128)
+            scale = _mask_dot_spmm(
+                head_expand, a_sub, (((0,), (0,)), ((), ())),
+                exact_lhs=False,
+            )                                                 # [128e, L]
+            m_sub = m_sub * scale
+        acc = acc + _reduce_dot_spmm(mask, m_sub)
+    out_ref[:] = acc
+
+
+def _segment_reduce_sched(
+    msgs, rel3, blk_ptr, sched_blk, sched_orig, n_blocks,
+    *, alpha4=None, feat=0, interpret=False,
+):
+    """Schedule-driven reduce — drop-in for ``_segment_reduce`` given the
+    ``PallasCSR.sched_*`` metadata.  Output accumulates in f32 across
+    window revisits regardless of the message dtype (cast at the end)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_in = msgs.shape[1]
+    if f_in % 128:
+        msgs = jnp.pad(msgs, ((0, 0), (0, 128 - f_in % 128)))
+        return _segment_reduce_sched(
+            msgs, rel3, blk_ptr, sched_blk, sched_orig, n_blocks,
+            alpha4=alpha4, feat=feat, interpret=interpret,
+        )[:, :f_in]
+    f = msgs.shape[1]
+    weighted = alpha4 is not None
+    heads = alpha4.shape[0] if weighted else 0
+    if not weighted:
+        alpha4 = jnp.zeros((1, 1, 1, 128), jnp.float32)
+    n_windows = sched_blk.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_windows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_ROWS, f),
+            lambda i, sblk, sorig, ptr: (sblk[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, E_CHUNK, f), msgs.dtype),
+            pltpu.VMEM((2, 2, SUBS, 128), jnp.int32),
+            pltpu.VMEM(
+                (2, heads, 2, SUBS, 128) if weighted else (2, 1, 1, 1, 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((2, 3 if weighted else 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(
+            _sched_kernel, heads=heads, feat=feat, n_windows=n_windows
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * BLOCK_ROWS, f), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(sched_blk, sched_orig, blk_ptr, msgs, rel3, alpha4)
+    return out.astype(msgs.dtype)
+
+
+def _alpha4_view(alpha3d):
+    """[H, E_pad/128, 128] α rows → [H, C+1, SUBS, 128] window view."""
+    h, rows128, _ = alpha3d.shape
+    c = -(-(rows128 * 128) // E_CHUNK)
+    pad_rows = (c + 1) * SUBS - rows128
+    return jnp.concatenate(
+        [alpha3d, jnp.zeros((h, pad_rows, 128), alpha3d.dtype)], axis=1
+    ).reshape(h, c + 1, SUBS, 128)
+
+
+# Schedule-driven reduce on by default; GODE_SPMM_SCHED=0 restores the
+# per-receiver-block kernel (A/B and fallback knob).
+_SCHED = os.environ.get("GODE_SPMM_SCHED", "1") != "0"
+
+
 def _segment_reduce_weighted(
     msgs, alpha3d, rel, blk_ptr, n_blocks, feat, *, interpret=False
 ):
@@ -436,10 +693,44 @@ def _segment_reduce_weighted(
     )
 
 
+def segment_reduce_csr(
+    csr: "PallasCSR", msgs, *, transpose=False, alpha3d=None, feat=0,
+    interpret=False,
+):
+    """Segment reduce over a prepared graph view — the single dispatch
+    point between the schedule-driven kernel (default) and the legacy
+    per-receiver-block kernel (``GODE_SPMM_SCHED=0``).
+
+    ``transpose=False`` reduces receiver-sorted messages into receiver
+    blocks (the SpMM forward); ``transpose=True`` uses the CSC view (the
+    backward / GAT dWh).  ``alpha3d`` ([H, E_pad/128, 128], same edge
+    order as ``msgs``) selects the weighted variant.
+    """
+    rel, rel3, ptr = (
+        (csr.t_rel, csr.t_rel3, csr.t_blk_ptr) if transpose
+        else (csr.rel, csr.rel3, csr.blk_ptr)
+    )
+    sblk, sorig = (
+        (csr.t_sched_blk, csr.t_sched_orig) if transpose
+        else (csr.sched_blk, csr.sched_orig)
+    )
+    if _SCHED:
+        return _segment_reduce_sched(
+            msgs, rel3, ptr, sblk, sorig, csr.n_blocks,
+            alpha4=None if alpha3d is None else _alpha4_view(alpha3d),
+            feat=feat, interpret=interpret,
+        )
+    return _segment_reduce(
+        msgs, rel, ptr, csr.n_blocks,
+        alpha3d=alpha3d, feat=feat, interpret=interpret,
+    )
+
+
 def _segment_reduce_recompute_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    seed_ref,           # scalar prefetch: i32[1] dropout seed (unused if off)
     msgs_hbm,           # ANY/HBM [E_pad, 128]: lanes [g(hf) | s_dst(H) |
-                        #   m(H) | l(H) | pad] gathered by CSC receiver
+                        #   m(H) | l(H) | rid(1)? | pad] gathered by CSC recv
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128] sender − 128·block
     src_blk,            # VMEM [BLOCK_ROWS, 128] s_src rows of this sender
                         #   block (lanes 0..H−1 live)
@@ -451,6 +742,8 @@ def _segment_reduce_recompute_kernel(
     heads: int,
     feat: int,
     slope: float,       # LeakyReLU negative slope of the edge scores
+    drop_keep24: int = 0,   # >0: regenerate attention dropout in-kernel
+    inv_keep: float = 1.0,  # 1/(1-rate)
 ):
     """dWh CSC reduction with α *recomputed in-kernel* from node tables.
 
@@ -545,6 +838,42 @@ def _segment_reduce_recompute_kernel(
             expo = jnp.minimum(logit - m_em, 0.0)   # exact: logit ≤ m[r]
             l_safe = jnp.where(head_live, l_em, 1.0)
             alpha = jnp.where(head_live, jnp.exp(expo), 0.0) / l_safe
+            if drop_keep24:
+                # Regenerate the counter-based attention-dropout mask
+                # (ops.dropmask — same hash, same key) in CSC order:
+                # sender = 128·b + row, expanded onto edge rows by a single
+                # exact bf16 one-hot pass (row ids ≤ 127 are bf16-exact);
+                # receiver rides the gather table as the rid lane.
+                from graph_odenet_tpu.ops import dropmask as _dm
+
+                rowid = jax.lax.broadcasted_iota(
+                    jnp.float32, (BLOCK_ROWS, 1), 0
+                )
+                snd = jax.lax.dot_general(
+                    jnp.where(oh, 1.0, 0.0).astype(jnp.bfloat16),
+                    rowid.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jnp.float32(BLOCK_ROWS) * b.astype(jnp.float32)  # [128e,1]
+                rid = pltpu.roll(
+                    m_sub, shift=(128 - hf - 3 * heads) % 128, axis=1
+                )[:, :1]                                          # [128e, 1]
+                x = (
+                    snd.astype(jnp.uint32) * jnp.uint32(_dm.K_SND)
+                    ^ rid.astype(jnp.uint32) * jnp.uint32(_dm.K_RCV)
+                )
+                hl = (
+                    lane128.astype(jnp.uint32) * jnp.uint32(_dm.K_HEAD)
+                    ^ seed_ref[0].astype(jnp.uint32)
+                )
+                x = x ^ hl                                        # [128e, 128]
+                x = x ^ (x >> 16)
+                x = x * jnp.uint32(_dm.F1)
+                x = x ^ (x >> 15)
+                x = x * jnp.uint32(_dm.F2)
+                x = x ^ (x >> 16)
+                keep = (x >> 8) < jnp.uint32(drop_keep24)
+                alpha = alpha * keep.astype(jnp.float32) * inv_keep
             # α expanded onto value lanes ([e, j] @ [j, l] → [e, l]): rows
             # ≥ H of expand128 are zero, so garbage α lanes never reach the
             # messages; lanes ≥ hf of the scale are zero, so the table's
@@ -622,19 +951,33 @@ def _mask_dot_spmm(exact, other, dn, *, exact_lhs=True):
 
 def _segment_reduce_recompute(
     msgs, src_blk, rel, blk_ptr, n_blocks, heads, feat, slope,
-    *, interpret=False,
+    *, dropout=None, interpret=False,
 ):
     """CSC dWh reduction with in-kernel α recompute from node tables —
     no [E, H] edge-order permute anywhere (see the kernel docstring).
 
-    ``msgs``:    [E_pad, 128] gathered table rows (g | s_dst | m | l | pad).
+    ``msgs``:    [E_pad, 128] gathered table rows (g | s_dst | m | l | pad,
+                 plus a receiver-id lane when ``dropout`` is given).
     ``src_blk``: [n_blocks·BLOCK_ROWS, 128] s_src rows (lanes 0..H−1 live).
+    ``dropout``: optional ``(seed, rate)`` — seed a traced u32/i32 scalar,
+                 rate a static float; the kernel regenerates the
+                 counter-based attention-dropout scale (ops.dropmask).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from graph_odenet_tpu.ops import dropmask as _dm
+
+    if dropout is None:
+        seed_arr = jnp.zeros((1,), jnp.int32)
+        drop_keep24, inv_keep = 0, 1.0
+    else:
+        seed, rate = dropout
+        seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32)[None]
+        drop_keep24, inv_keep = _dm.keep24(rate), 1.0 / (1.0 - rate)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -657,13 +1000,14 @@ def _segment_reduce_recompute(
         partial(
             _segment_reduce_recompute_kernel,
             heads=heads, feat=feat, slope=slope,
+            drop_keep24=drop_keep24, inv_keep=inv_keep,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_blocks * BLOCK_ROWS, 128), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(blk_ptr, msgs, rel, src_blk)
+    )(blk_ptr, seed_arr, msgs, rel, src_blk)
 
 
 def _is_tpu() -> bool:
@@ -686,9 +1030,7 @@ def _check_block(csr):
 def _fwd_impl(csr, x):
     _check_block(csr)
     msgs = jnp.take(x, csr.senders, axis=0) * csr.weight[:, None].astype(x.dtype)
-    out = _segment_reduce(
-        msgs, csr.rel, csr.blk_ptr, csr.n_blocks, interpret=not _is_tpu()
-    )
+    out = segment_reduce_csr(csr, msgs, interpret=not _is_tpu())
     return out[: csr.n_node_pad]
 
 
@@ -696,8 +1038,8 @@ def _bwd_impl(csr, g):
     msgs = jnp.take(g, csr.t_receivers, axis=0) * csr.t_weight[:, None].astype(
         g.dtype
     )
-    out = _segment_reduce(
-        msgs, csr.t_rel, csr.t_blk_ptr, csr.n_blocks, interpret=not _is_tpu()
+    out = segment_reduce_csr(
+        csr, msgs, transpose=True, interpret=not _is_tpu()
     )
     return out[: csr.n_node_pad]
 

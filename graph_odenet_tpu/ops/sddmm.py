@@ -80,10 +80,12 @@ def attention_aggregate(
     # XLA-side ([E, H], cheap) and streamed into the kernel as an α scale,
     # so training with the reference's attn dropout keeps kernel speed.
     if type(g).__name__ == "PallasCSR":
+        from graph_odenet_tpu.ops.dropmask import seed_from_key
         from graph_odenet_tpu.ops.pallas_gat import (
             gat_aggregate_pallas,
             gat_aggregate_pallas_dropout,
             gat_aggregate_pallas_scores,
+            gat_aggregate_pallas_scores_dropout,
         )
 
         if edge_dropout_rng is None or edge_dropout_rate == 0.0:
@@ -92,6 +94,14 @@ def attention_aggregate(
                     g, negative_slope, logits, values, scores[0], scores[1]
                 )
             return gat_aggregate_pallas(g, logits, values)
+        if scores is not None:
+            # Counter-based mask (ops.dropmask): the backward regenerates
+            # it in CSC order in-kernel, keeping the fast dWh path live
+            # under the reference's attention dropout.
+            return gat_aggregate_pallas_scores_dropout(
+                g, negative_slope, edge_dropout_rate, logits, values,
+                scores[0], scores[1], seed_from_key(edge_dropout_rng),
+            )
         keep = jax.random.bernoulli(
             edge_dropout_rng, 1.0 - edge_dropout_rate, logits.shape
         )

@@ -29,7 +29,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from graph_odenet_tpu.bench import powerlaw_graph  # noqa: E402
 from graph_odenet_tpu.ops.pallas_spmm import (  # noqa: E402
-    _segment_reduce, prepare, spmm_pallas,
+    prepare, segment_reduce_csr, spmm_pallas,
 )
 
 
@@ -96,9 +96,7 @@ def main(trace=False):
 
     # Phases.
     res["gather_fwd_ms"] = res["take_ms"]  # x[senders] IS the take above
-    red = jax.jit(
-        lambda m: _segment_reduce(m, csr.rel, csr.blk_ptr, csr.n_blocks)
-    )
+    red = jax.jit(lambda m: segment_reduce_csr(csr, m))
     res["reduce_fwd_ms"] = t(red, msgs)
     # Reduce roofline: stream E·F·4B in + (N·F·4B out, negligible),
     # against the best cross-checked HBM ceiling.

@@ -383,3 +383,127 @@ def test_gat_layer_uses_scores_hint_on_csr():
         ),
         grad_g, grad_c,
     )
+
+
+# --- Counter-based regenerable attention dropout (VERDICT r2 #2) ----------
+
+
+def test_dropmask_deterministic_and_rate():
+    from graph_odenet_tpu.ops.dropmask import attention_dropout_scale
+
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.integers(0, 5000, 20_000), jnp.int32)
+    r = jnp.asarray(rng.integers(0, 5000, 20_000), jnp.int32)
+    m1 = attention_dropout_scale(jnp.uint32(42), s, r, 8, 0.6)
+    m2 = attention_dropout_scale(jnp.uint32(42), s, r, 8, 0.6)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    # Empirical keep rate ~ 1-rate (binomial; 160k draws, ±1%).
+    keep = float(jnp.mean((m1 > 0).astype(jnp.float32)))
+    assert abs(keep - 0.4) < 0.01, keep
+    # Different seeds give different masks; kept entries carry 1/(1-rate).
+    m3 = attention_dropout_scale(jnp.uint32(43), s, r, 8, 0.6)
+    assert np.any(np.asarray(m1) != np.asarray(m3))
+    vals = np.unique(np.asarray(m1))
+    np.testing.assert_allclose(vals, [0.0, 1.0 / 0.4], rtol=1e-6)
+
+
+@pytest.mark.parametrize("heads,feat", [(8, 8), (2, 16), (4, 16)])
+def test_scores_dropout_fwd_matches_injected_mask(heads, feat):
+    """The scores+seed op's forward must equal the plain dropout op fed the
+    XLA-side generated counter mask (same hash, same key)."""
+    from graph_odenet_tpu.ops.dropmask import attention_dropout_scale
+    from graph_odenet_tpu.ops.pallas_gat import (
+        gat_aggregate_pallas_dropout,
+        gat_aggregate_pallas_scores_dropout,
+    )
+    from graph_odenet_tpu.ops.sddmm import edge_scores
+
+    g, csr, _, wh = make_case(seed=5, heads=heads, feat=feat)
+    rng = np.random.default_rng(7)
+    s_src = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    s_dst = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    logits = edge_scores(g, s_src, s_dst)
+    seed = jnp.uint32(123)
+    rate = 0.6
+    dmask = attention_dropout_scale(seed, csr.senders, csr.receivers, heads, rate)
+    ref = gat_aggregate_pallas_dropout(csr, logits, wh, dmask)
+    got = gat_aggregate_pallas_scores_dropout(
+        csr, 0.2, rate, logits, wh, s_src, s_dst, seed
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("heads,feat", [(8, 8), (2, 16)])
+def test_scores_dropout_grads_match_permute_path(heads, feat):
+    """dWh via the in-kernel mask-regenerating recompute path must match the
+    α·D-permute weighted path given the identical counter mask."""
+    from graph_odenet_tpu.ops.dropmask import attention_dropout_scale
+    from graph_odenet_tpu.ops.pallas_gat import (
+        _use_recompute,
+        gat_aggregate_pallas_dropout,
+        gat_aggregate_pallas_scores_dropout,
+    )
+    from graph_odenet_tpu.ops.sddmm import edge_scores
+
+    assert _use_recompute(heads, feat, object(), with_dropout=True)
+    g, csr, _, wh = make_case(seed=6, heads=heads, feat=feat)
+    rng = np.random.default_rng(8)
+    s_src = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    s_dst = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    logits = edge_scores(g, s_src, s_dst)
+    seed = jnp.uint32(2024)
+    rate = 0.5
+    dmask = attention_dropout_scale(seed, csr.senders, csr.receivers, heads, rate)
+
+    def loss_fast(lg, w):
+        return jnp.sum(jnp.sin(gat_aggregate_pallas_scores_dropout(
+            csr, 0.2, rate, lg, w, s_src, s_dst, seed
+        )))
+
+    def loss_perm(lg, w):
+        return jnp.sum(jnp.sin(gat_aggregate_pallas_dropout(csr, lg, w, dmask)))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(logits, wh)
+    gp = jax.grad(loss_perm, argnums=(0, 1))(logits, wh)
+    for a, b, name in [(gf[0], gp[0], "dlogits"), (gf[1], gp[1], "dwh")]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4, err_msg=name
+        )
+
+
+def test_scores_dropout_lane_squeeze_falls_back():
+    """H=1/F=125 (125+3+1=129 > 128 lanes) must fall back to the permute
+    path and still produce correct gradients."""
+    from graph_odenet_tpu.ops.dropmask import attention_dropout_scale
+    from graph_odenet_tpu.ops.pallas_gat import (
+        _use_recompute,
+        gat_aggregate_pallas_dropout,
+        gat_aggregate_pallas_scores_dropout,
+    )
+    from graph_odenet_tpu.ops.sddmm import edge_scores
+
+    heads, feat = 1, 125
+    assert not _use_recompute(heads, feat, object(), with_dropout=True)
+    g, csr, _, wh = make_case(seed=9, heads=heads, feat=feat)
+    rng = np.random.default_rng(10)
+    s_src = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    s_dst = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    logits = edge_scores(g, s_src, s_dst)
+    seed = jnp.uint32(77)
+    rate = 0.4
+    dmask = attention_dropout_scale(seed, csr.senders, csr.receivers, heads, rate)
+
+    def loss_fast(lg, w):
+        return jnp.sum(gat_aggregate_pallas_scores_dropout(
+            csr, 0.2, rate, lg, w, s_src, s_dst, seed
+        ))
+
+    def loss_perm(lg, w):
+        return jnp.sum(gat_aggregate_pallas_dropout(csr, lg, w, dmask))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(logits, wh)
+    gp = jax.grad(loss_perm, argnums=(0, 1))(logits, wh)
+    for a, b in zip(gf, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
