@@ -71,6 +71,7 @@ class ShardedConfig:
     epochs: int = 30
     patience: int = 100
     mode: str = "ring"   # halo exchange flavour
+    dropout: float = 0.5  # R7 feature dropout (gatode adds attention dropout)
     n_parts: int = 8
     ckpt_dir: str | None = None
 
@@ -184,8 +185,8 @@ def run_config(
         tcfg = ShardedTrainConfig(
             model=cfg.model, hidden=cfg.hidden, steps=cfg.steps, t1=cfg.t1,
             lr=cfg.lr, weight_decay=cfg.weight_decay, epochs=cfg.epochs,
-            patience=cfg.patience, mode=cfg.mode, n_parts=n_parts,
-            ckpt_dir=cfg.ckpt_dir,
+            patience=cfg.patience, mode=cfg.mode, dropout=cfg.dropout,
+            n_parts=n_parts, ckpt_dir=cfg.ckpt_dir,
         )
         res = fit_sharded_node_classifier(tcfg, data)
         res.pop("params")

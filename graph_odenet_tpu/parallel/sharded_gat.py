@@ -48,6 +48,8 @@ def gat_sharded(
     *,
     axis: str = "edge",
     negative_slope: float = 0.2,
+    attn_rate: float = 0.0,
+    attn_seed: jax.Array | None = None,
 ) -> jax.Array:
     """Masked-softmax attention aggregation, node rows sharded over ``axis``.
 
@@ -56,6 +58,12 @@ def gat_sharded(
       s_src: f32[N_pad, H] source-side scores (``Wh @ a_src`` per head).
       s_dst: f32[N_pad, H] destination-side scores.
       wh:    f32[N_pad, H, F] per-head node values.
+      attn_rate/attn_seed: post-softmax attention dropout (the reference's
+        GAT recipe).  The mask is the counter-based ``ops.dropmask`` hash
+        of GLOBAL (sender, receiver, head, seed) — partitioning-invariant,
+        and bit-identical to the single-chip Pallas path given the same
+        seed.  Numerators only; the softmax denominator keeps every edge
+        (same convention as ops/pallas_gat).
 
     Returns f32[N_pad, H, F], same sharding as the inputs (P(axis) rows).
     Matches the single-device ``ops.sddmm`` path to float tolerance.
@@ -67,9 +75,14 @@ def gat_sharded(
         )
     B = pg.block_size
     heads, feat = wh.shape[-2], wh.shape[-1]
+    use_drop = attn_rate > 0.0 and attn_seed is not None
+    seed_arr = (
+        jnp.asarray(attn_seed, jnp.uint32).reshape(())
+        if use_drop else jnp.uint32(0)
+    )
 
     def kernel(senders_rel, receivers_rel, weight, ssrc_shard, sdst_shard,
-               wh_shard):
+               wh_shard, seed):
         me = jax.lax.axis_index(axis)
         perm = [((i + 1) % n_parts, i) for i in range(n_parts)]
 
@@ -92,8 +105,19 @@ def gat_sharded(
                 jnp.exp(e - jnp.take(m_new, r_b, axis=0)),
                 0.0,
             )                                                    # [E_b, H]
+            if use_drop:
+                from graph_odenet_tpu.ops.dropmask import (
+                    attention_dropout_scale,
+                )
+
+                p_v = p * attention_dropout_scale(
+                    seed, src_block * B + s_b, me * B + r_b, heads,
+                    attn_rate,
+                )
+            else:
+                p_v = p
             rescale = jnp.exp(m - m_new)                         # [B, H]
-            msgs = jnp.take(wh_c, s_b, axis=0) * p[..., None]    # [E_b, H, F]
+            msgs = jnp.take(wh_c, s_b, axis=0) * p_v[..., None]  # [E_b, H, F]
             acc = acc * rescale[..., None] + jax.ops.segment_sum(
                 msgs, r_b, num_segments=B, indices_are_sorted=True
             )
@@ -127,9 +151,11 @@ def gat_sharded(
     return jax.shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(edge_spec, edge_spec, edge_spec, row, row, P(axis, None, None)),
+        in_specs=(edge_spec, edge_spec, edge_spec, row, row,
+                  P(axis, None, None), P()),
         out_specs=P(axis, None, None),
-    )(pg.senders_rel, pg.receivers_rel, pg.weight, s_src, s_dst, wh)
+    )(pg.senders_rel, pg.receivers_rel, pg.weight, s_src, s_dst, wh,
+      seed_arr)
 
 
 # --- sharded GAT-ODE model (mirror of parallel.sharded_gcn) ---------------
@@ -168,23 +194,47 @@ def init_gatode_params(
     )
 
 
-def _att_layer(pg, mesh, axis, h, w, a_src, a_dst):
+def _att_layer(pg, mesh, axis, h, w, a_src, a_dst, attn_rate=0.0,
+               attn_seed=None):
     """One sharded GAT layer: scores per head then masked-softmax attention."""
     heads, feat = a_src.shape
     wh = (h @ w).reshape(h.shape[0], heads, feat)
     s_src = jnp.einsum("nhf,hf->nh", wh, a_src)
     s_dst = jnp.einsum("nhf,hf->nh", wh, a_dst)
-    out = gat_sharded(pg, s_src, s_dst, wh, mesh, axis=axis)
+    out = gat_sharded(
+        pg, s_src, s_dst, wh, mesh, axis=axis,
+        attn_rate=attn_rate, attn_seed=attn_seed,
+    )
     return out.reshape(h.shape[0], heads * feat)
 
 
 def gatode_forward(
     params, pg: PartitionedGraph, x, mesh: Mesh, *, steps: int = 4,
-    t1: float = 1.0, axis: str = "edge",
+    t1: float = 1.0, axis: str = "edge", dropout: float = 0.0, rng=None,
 ):
-    """log-probs [N_pad, C]; node rows sharded P('edge') throughout."""
-    att = lambda h, w, a_s, a_d: _att_layer(pg, mesh, axis, h, w, a_s, a_d)
-    h = jax.nn.elu(att(x, params["w_enc"], params["a_src_enc"], params["a_dst_enc"]))
+    """log-probs [N_pad, C]; node rows sharded P('edge') throughout.
+
+    ``dropout``/``rng``: the reference GAT recipe's regularisation,
+    mirroring models.GATODE — feature dropout on the input and after the
+    ODE block, attention dropout (counter-based, partitioning-invariant)
+    in the encoder layer.  Eval passes no ``rng`` and stays deterministic.
+    """
+    from graph_odenet_tpu.ops.dropmask import seed_from_key
+    from graph_odenet_tpu.parallel.sharded_gcn import _feature_dropout
+
+    drop = dropout > 0.0 and rng is not None
+    attn_seed = None
+    if drop:
+        k0, k1, k2 = jax.random.split(rng, 3)
+        attn_seed = seed_from_key(k1)
+        x = _feature_dropout(x, k0, dropout)
+    att = lambda h, w, a_s, a_d, **kw: _att_layer(
+        pg, mesh, axis, h, w, a_s, a_d, **kw
+    )
+    h = jax.nn.elu(att(
+        x, params["w_enc"], params["a_src_enc"], params["a_dst_enc"],
+        attn_rate=dropout if drop else 0.0, attn_seed=attn_seed,
+    ))
 
     def dyn(h):
         return jnp.tanh(
@@ -201,5 +251,7 @@ def gatode_forward(
         return h + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
     h, _ = jax.lax.scan(rk4_step, h, None, length=steps)
+    if drop:
+        h = _feature_dropout(h, k2, dropout)
     logits = att(h, params["w_out"], params["a_src_out"], params["a_dst_out"])
     return jax.nn.log_softmax(logits, axis=-1)

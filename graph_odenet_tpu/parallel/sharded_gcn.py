@@ -41,11 +41,31 @@ def init_params(rng, f_in: int, hidden: int, n_class: int, dtype=jnp.float32):
     )
 
 
+def _feature_dropout(h, key, rate):
+    """Inverted feature dropout.  ``jax.random`` is counter-based, so the
+    mask drawn under jit is a pure function of (key, shape) — identical
+    whatever the mesh partitioning (the sharded-vs-single-device parity
+    tests rely on this)."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, h.shape)
+    return jnp.where(keep, h / (1.0 - rate), 0.0)
+
+
 def forward(params, pg: PartitionedGraph, x, mesh: Mesh, *, steps: int = 4,
-            t1: float = 1.0, mode: str = "ring"):
-    """log-probs [N_pad, C], everything sharded P('edge')."""
+            t1: float = 1.0, mode: str = "ring", dropout: float = 0.0,
+            rng=None):
+    """log-probs [N_pad, C], everything sharded P('edge').
+
+    ``dropout``/``rng``: the R7 GCN-ODE recipe's feature dropout (after the
+    encoder conv and after the ODE block, mirroring models.GCNODE); pass
+    ``rng`` only on training steps — eval stays deterministic.
+    """
     agg = partial(spmm_sharded, pg, mesh=mesh, mode=mode)
+    drop = dropout > 0.0 and rng is not None
+    if drop:
+        k1, k2 = jax.random.split(rng)
     h = jax.nn.relu(agg(x @ params["w_in"]) + params["b_in"])
+    if drop:
+        h = _feature_dropout(h, k1, dropout)
 
     def dyn(h):
         return jnp.tanh(agg(h @ params["w_dyn"]) + params["b_dyn"])
@@ -60,6 +80,8 @@ def forward(params, pg: PartitionedGraph, x, mesh: Mesh, *, steps: int = 4,
         return h + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
     h, _ = jax.lax.scan(rk4_step, h, None, length=steps)
+    if drop:
+        h = _feature_dropout(h, k2, dropout)
     logits = agg(h @ params["w_out"]) + params["b_out"]
     return jax.nn.log_softmax(logits, axis=-1)
 

@@ -46,6 +46,9 @@ class ShardedTrainConfig:
     mode: str = "ring"           # halo exchange flavour (gcnode)
     lr: float = 0.01
     weight_decay: float = 5e-4
+    # Feature (+ attention, gatode) dropout — the reference recipe uses 0.5
+    # for GCN-family and 0.6 for GAT-family; 0 disables (eval always does).
+    dropout: float = 0.0
     epochs: int = 30
     patience: int = 100
     # None = auto: every epoch on small graphs (reference R7 behaviour),
@@ -92,15 +95,17 @@ def fit_sharded_node_classifier(
     rng = jax.random.PRNGKey(cfg.seed)
     if cfg.model == "gcnode":
         params = sharded_gcn.init_params(rng, f_in, cfg.hidden, c)
-        fwd = lambda p: sharded_gcn.forward(
-            p, pg, x, mesh, steps=cfg.steps, t1=cfg.t1, mode=cfg.mode
+        fwd = lambda p, key=None: sharded_gcn.forward(
+            p, pg, x, mesh, steps=cfg.steps, t1=cfg.t1, mode=cfg.mode,
+            dropout=cfg.dropout, rng=key,
         )
     elif cfg.model == "gatode":
         params = sharded_gat.init_gatode_params(
             rng, f_in, cfg.hidden, cfg.heads, c
         )
-        fwd = lambda p: sharded_gat.gatode_forward(
-            p, pg, x, mesh, steps=cfg.steps, t1=cfg.t1
+        fwd = lambda p, key=None: sharded_gat.gatode_forward(
+            p, pg, x, mesh, steps=cfg.steps, t1=cfg.t1,
+            dropout=cfg.dropout, rng=key,
         )
     else:
         raise ValueError(f"unknown sharded model {cfg.model!r}")
@@ -120,9 +125,9 @@ def fit_sharded_node_classifier(
         return jnp.sum(hit) / jnp.maximum(jnp.sum(w), 1.0)
 
     @jax.jit
-    def train_step(params, opt_state):
+    def train_step(params, opt_state, key):
         loss, grads = jax.value_and_grad(
-            lambda p: masked_nll(fwd(p), w_tr)
+            lambda p: masked_nll(fwd(p, key), w_tr)
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -165,9 +170,12 @@ def fit_sharded_node_classifier(
     losses = []
     t0 = time.time()
     step_ms = None
+    drop_rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch, cfg.epochs):
         t_step = time.perf_counter()
-        params, opt_state, loss = train_step(params, opt_state)
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.fold_in(drop_rng, epoch)
+        )
         loss = float(jax.block_until_ready(loss))
         if epoch > start_epoch:  # steady state: skip the compile epoch
             dt = (time.perf_counter() - t_step) * 1e3

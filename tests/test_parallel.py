@@ -249,3 +249,115 @@ def test_spmm_sharded_feature_tp():
     np.testing.assert_allclose(
         np.asarray(gout), np.asarray(gref), rtol=1e-5, atol=1e-6
     )
+
+
+# --- Dropout parity on the sharded path (VERDICT r2 #4) -------------------
+
+
+def test_gat_sharded_attn_dropout_matches_counter_reference(mesh):
+    """Sharded attention dropout == segment reference with the SAME
+    counter-based mask (ops.dropmask keyed on global sender/receiver)."""
+    from graph_odenet_tpu.ops.dropmask import attention_dropout_scale
+    from graph_odenet_tpu.ops.sddmm import edge_scores
+    from graph_odenet_tpu.ops.segment import gather, segment_softmax, segment_sum
+    from graph_odenet_tpu.parallel import gat_sharded
+
+    rng = np.random.default_rng(11)
+    n, heads, feat = 96, 2, 8
+    a = rng.random((n, n)) < 0.08
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=n, normalize=None, node_multiple=8)
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    s_src = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    s_dst = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
+    wh = jnp.asarray(
+        rng.standard_normal((g.n_node_pad, heads, feat)), jnp.float32
+    )
+    seed, rate = jnp.uint32(99), 0.5
+
+    # Reference: segment softmax, counter mask on numerators only.
+    logits = edge_scores(g, s_src, s_dst)
+    alpha = segment_softmax(
+        logits, g.receivers, g.n_node_pad, mask=g.edge_mask()[:, None]
+    )
+    d = attention_dropout_scale(seed, g.senders, g.receivers, heads, rate)
+    msgs = gather(wh, g.senders) * (alpha * d)[..., None]
+    expected = segment_sum(msgs, g.receivers, num_segments=g.n_node_pad)
+
+    got = gat_sharded(
+        pg, s_src, s_dst, wh, mesh, attn_rate=rate, attn_seed=seed
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_gatode_forward_dropout_mesh_invariant(mesh):
+    """The full training-mode sharded GAT-ODE forward (feature + attention
+    dropout) must give identical results on 1-part and 8-part meshes."""
+    from graph_odenet_tpu.parallel import sharded_gat
+    from graph_odenet_tpu.parallel.mesh import make_mesh as mk
+
+    rng = np.random.default_rng(12)
+    n, f_in = 96, 12
+    a = rng.random((n, n)) < 0.08
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=n, normalize=None, node_multiple=8)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, f_in)), jnp.float32)
+    params = sharded_gat.init_gatode_params(
+        jax.random.PRNGKey(0), f_in, hidden=6, heads=2, n_class=5
+    )
+    key = jax.random.PRNGKey(7)
+
+    outs = []
+    for parts in (1, 8):
+        pg = partition_by_receiver(g, parts, edge_multiple=8)
+        m = mk(shape=(parts,), axis_names=("edge",),
+               devices=jax.devices()[:parts])
+        outs.append(np.asarray(sharded_gat.gatode_forward(
+            params, pg, x, m, steps=2, dropout=0.4, rng=key
+        )))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5, rtol=1e-5)
+
+
+def test_gcn_forward_dropout_mesh_invariant(mesh):
+    from graph_odenet_tpu.parallel import sharded_gcn
+    from graph_odenet_tpu.parallel.mesh import make_mesh as mk
+
+    rng = np.random.default_rng(13)
+    n, f_in = 96, 10
+    a = rng.random((n, n)) < 0.08
+    s, r = np.nonzero(a)
+    g = from_edges(s, r, n_node=n, normalize="row", node_multiple=8)
+    x = jnp.asarray(rng.standard_normal((g.n_node_pad, f_in)), jnp.float32)
+    params = sharded_gcn.init_params(
+        jax.random.PRNGKey(0), f_in, hidden=8, n_class=4
+    )
+    key = jax.random.PRNGKey(3)
+    outs = []
+    for parts in (1, 8):
+        pg = partition_by_receiver(g, parts, edge_multiple=8)
+        m = mk(shape=(parts,), axis_names=("edge",),
+               devices=jax.devices()[:parts])
+        outs.append(np.asarray(sharded_gcn.forward(
+            params, pg, x, m, steps=2, dropout=0.5, rng=key
+        )))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_trainer_with_dropout_converges(mesh):
+    """R7 recipe with its regularisation live on the mesh: loss falls and
+    accuracy beats chance on a small twin."""
+    from graph_odenet_tpu.data import synthetic_planetoid
+    from graph_odenet_tpu.parallel.trainer import (
+        ShardedTrainConfig, fit_sharded_node_classifier,
+    )
+
+    data = synthetic_planetoid("cora", seed=0, scale=0.1)
+    cfg = ShardedTrainConfig(
+        model="gcnode", hidden=16, epochs=30, dropout=0.5,
+        edge_multiple=8, eval_every=3,
+    )
+    res = fit_sharded_node_classifier(cfg, data)
+    assert res["loss_final"] < res["loss_first"]
+    assert res["test_acc"] > 0.3, res
