@@ -94,7 +94,7 @@ def spmm_bench(n_nodes=169_343, n_edges=1_166_243, feat=128, iters=20):
 
 def gat_bench(
     n_nodes=169_343, n_edges=1_166_243, heads=1, feat=128, iters=20,
-    mode="fwd_bwd", use_scores=True,
+    mode="fwd_bwd", use_scores=True, dropout=0.0,
 ):
     """edges/s/chip for the GAT attention sandwich (SDDMM→softmax→SpMM),
     segment path vs fused Pallas kernels (fwd + fused α/dlogit backward).
@@ -102,7 +102,11 @@ def gat_bench(
     ``use_scores``: logits come from decomposed node scores (the GAT
     layer's real workload, ops/sddmm.edge_scores) and the score tables are
     passed as the backward's recompute-α hint; False measures the plain op
-    on arbitrary logits (round-1 comparable)."""
+    on arbitrary logits (round-1 comparable).
+
+    ``dropout``: post-softmax attention dropout rate — the reference trains
+    GAT with 0.6, so ``dropout=0.6, mode="fwd_bwd"`` is the training-path
+    measurement (round-2 VERDICT #2)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,15 +132,26 @@ def gat_bench(
         rng.standard_normal((g.n_node_pad, heads, feat)), jnp.float32
     )
 
+    drop_kw = {}
+    if dropout > 0.0:
+        drop_kw = dict(
+            edge_dropout_rng=jax.random.PRNGKey(7),
+            edge_dropout_rate=dropout,
+        )
+
     def make(adj):
         if mode == "fwd":
             return jax.jit(
-                lambda lg, w: attention_aggregate(adj, lg, w, scores=scores)
+                lambda lg, w: attention_aggregate(
+                    adj, lg, w, scores=scores, **drop_kw
+                )
             )
         return jax.jit(
             jax.grad(
                 lambda lg, w: 0.5 * jnp.sum(
-                    attention_aggregate(adj, lg, w, scores=scores) ** 2
+                    attention_aggregate(
+                        adj, lg, w, scores=scores, **drop_kw
+                    ) ** 2
                 ),
                 argnums=(0, 1),
             )
@@ -144,7 +159,7 @@ def gat_bench(
 
     t_seg = _time(make(g), logits, wh, iters=iters)
     rec = dict(
-        n_edge=g.n_edge, heads=heads, feat=feat, mode=mode,
+        n_edge=g.n_edge, heads=heads, feat=feat, mode=mode, dropout=dropout,
         segment_edges_per_s=g.n_edge / t_seg, segment_ms=t_seg * 1e3,
     )
     try:

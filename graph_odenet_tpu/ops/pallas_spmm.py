@@ -847,8 +847,8 @@ def _segment_reduce_recompute_kernel(
                 from graph_odenet_tpu.ops import dropmask as _dm
 
                 rowid = jax.lax.broadcasted_iota(
-                    jnp.float32, (BLOCK_ROWS, 1), 0
-                )
+                    jnp.int32, (BLOCK_ROWS, 1), 0
+                ).astype(jnp.float32)
                 snd = jax.lax.dot_general(
                     jnp.where(oh, 1.0, 0.0).astype(jnp.bfloat16),
                     rowid.astype(jnp.bfloat16),
@@ -858,12 +858,17 @@ def _segment_reduce_recompute_kernel(
                 rid = pltpu.roll(
                     m_sub, shift=(128 - hf - 3 * heads) % 128, axis=1
                 )[:, :1]                                          # [128e, 1]
+                # Mosaic has no f32→u32 cast: go f32→i32 (indices are
+                # non-negative, exact) then bitcast to u32.
+                as_u32 = lambda v: jax.lax.bitcast_convert_type(
+                    v.astype(jnp.int32), jnp.uint32
+                )
                 x = (
-                    snd.astype(jnp.uint32) * jnp.uint32(_dm.K_SND)
-                    ^ rid.astype(jnp.uint32) * jnp.uint32(_dm.K_RCV)
+                    as_u32(snd) * jnp.uint32(_dm.K_SND)
+                    ^ as_u32(rid) * jnp.uint32(_dm.K_RCV)
                 )
                 hl = (
-                    lane128.astype(jnp.uint32) * jnp.uint32(_dm.K_HEAD)
+                    as_u32(lane128) * jnp.uint32(_dm.K_HEAD)
                     ^ seed_ref[0].astype(jnp.uint32)
                 )
                 x = x ^ hl                                        # [128e, 128]
