@@ -297,6 +297,8 @@ def ode_model_bench(
     feat_in: int = 128, hidden: int = 64, heads: int = 8,
     method: str = "dopri5", rtol: float = 1e-3, atol: float = 1e-4,
     representation: str = "auto", iters: int = 10, seed: int = 0,
+    mode: str = "fwd", dropout: float | None = None,
+    steps: int = 32, remat: bool = False,
 ):
     """NFE/s of the REAL flagship models (encoder → ODEBlock → readout),
     not a hand-rolled dynamics (round-1 VERDICT weak #6).
@@ -304,6 +306,11 @@ def ode_model_bench(
     ``representation``: "dense" | "segment" | "pallas" | "auto" (the
     trainer's dispatch rule — dense Â on the MXU at small scale, Pallas
     CSR tiles at arxiv scale on TPU).
+
+    ``mode="train_step"`` measures the R7 inner loop users actually train:
+    ``value_and_grad`` of the NLL loss with dropout live (reference rates:
+    0.5 GCN-family, 0.6 GAT-family), adaptive methods switched to their
+    reverse-differentiable ``_scan`` variants (round-2 VERDICT #7).
     """
     import jax
     import jax.numpy as jnp
@@ -330,9 +337,16 @@ def ode_model_bench(
     else:
         adj = g
     n_class = 8
+    train = mode == "train_step"
+    if train and method in (
+        "dopri5", "dopri8", "bosh3", "adaptive_heun", "fehlberg2", "adams",
+    ):
+        method = method + "_scan"
+    if dropout is None:
+        dropout = (0.5 if model == "gcnode" else 0.6) if train else 0.0
     kw = dict(
         n_class=n_class, method=method, rtol=rtol, atol=atol,
-        steps=32, dropout=0.0,
+        steps=steps, dropout=dropout, remat=remat,
     )
     if model == "gcnode":
         m = GCNODE(hidden=hidden, **kw)
@@ -354,12 +368,38 @@ def ode_model_bench(
         nfe = inter["intermediates"]["ODEBlock_0"]["ode_stats"][0]["nfe"]
         return out, nfe
 
-    (out, nfe) = fwd(params, x)
-    jax.block_until_ready(out)
-    t = _time(lambda xx: fwd(params, xx)[0], x, iters=iters)
+    labels = jnp.asarray(rng.integers(0, n_class, size=g.n_node_pad))
+
+    @jax.jit
+    def step(params, x, key):
+        def loss_fn(p):
+            out, inter = m.apply(
+                {"params": p}, adj, x, deterministic=False,
+                mutable=["intermediates"], rngs={"dropout": key},
+            )
+            nfe = inter["intermediates"]["ODEBlock_0"]["ode_stats"][0]["nfe"]
+            logp = jax.nn.log_softmax(out[: g.n_node])
+            nll = -jnp.mean(
+                jnp.take_along_axis(logp, labels[: g.n_node, None], 1)
+            )
+            return nll, nfe
+
+        (nll, nfe), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, nfe
+
+    if train:
+        key = jax.random.PRNGKey(3)
+        out, nfe = step(params, x, key)
+        jax.block_until_ready(out)
+        t = _time(lambda xx: step(params, xx, key)[0], x, iters=iters)
+    else:
+        (out, nfe) = fwd(params, x)
+        jax.block_until_ready(out)
+        t = _time(lambda xx: fwd(params, xx)[0], x, iters=iters)
     nfe = int(nfe)
     return dict(
         model=model, method=method, representation=representation,
+        mode=mode, dropout=dropout,
         n_node=g.n_node, n_edge=g.n_edge, nfe=nfe, seconds=t,
         nfe_per_s=nfe / t, edges_per_s=nfe * g.n_edge / t,
     )

@@ -137,6 +137,7 @@ class GCNODE(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-4
     adjoint: bool = False
+    remat: bool = False
     activation: str = "tanh"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -150,6 +151,7 @@ class GCNODE(nn.Module):
             GCNDynamics(self.hidden, activation=self.activation, **kw),
             t1=self.t1, method=self.method, steps=self.steps,
             rtol=self.rtol, atol=self.atol, adjoint=self.adjoint,
+            remat=self.remat,
         )(adj, h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = GCNLayer(self.n_class, **kw)(adj, h)
@@ -169,6 +171,7 @@ class GATODE(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-4
     adjoint: bool = False
+    remat: bool = False
     activation: str = "tanh"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -186,6 +189,7 @@ class GATODE(nn.Module):
             GATDynamics(self.hidden * self.heads, activation=self.activation, **kw),
             t1=self.t1, method=self.method, steps=self.steps,
             rtol=self.rtol, atol=self.atol, adjoint=self.adjoint,
+            remat=self.remat,
         )(g, h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = GATLayer(self.n_class, heads=1, concat=False, **kw)(
