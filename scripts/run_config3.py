@@ -42,6 +42,11 @@ N_TEST = int(os.environ.get("GODE_NTEST", "64"))
 
 def main():
     _, cfg = get_config(3)
+    # Smoke-scale overrides for time-boxed runs (full config is default).
+    if os.environ.get("GODE_EPOCHS"):
+        cfg = dataclasses.replace(cfg, epochs=int(os.environ["GODE_EPOCHS"]))
+    if os.environ.get("GODE_NSIMS"):
+        cfg = dataclasses.replace(cfg, n_sims=int(os.environ["GODE_NSIMS"]))
     t0 = time.time()
 
     # Shared training data (config seed) + held-out test trajectories.
