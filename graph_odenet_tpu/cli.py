@@ -140,6 +140,7 @@ def _config(args):
     idx = int(args.index) if args.index.isdigit() else args.index
     print(json.dumps(run_config(
         idx, scale=args.scale, calibrated=args.calibrated, seed=args.seed,
+        rollout=args.rollout,
     ), default=float))
 
 
@@ -228,6 +229,9 @@ def main(argv=None):
     c.add_argument("--scale", type=float, default=1.0)
     c.add_argument("--seed", type=int, default=None)
     c.add_argument("--calibrated", action="store_true")
+    c.add_argument("--rollout", type=int, default=0,
+                   help="config 3: rollout-MSE horizon for the full "
+                   "discrete-IN + IN-ODE deliverable (0 = train only)")
     c.set_defaults(fn=_config)
 
     b = sub.add_parser("bench", help="throughput benchmarks")

@@ -121,6 +121,7 @@ def run_config(
     data_path: str | None = None,
     calibrated: bool = False,
     seed: int | None = None,
+    rollout: int = 0,
 ):
     """Execute canonical config ``i`` (index or name) end-to-end.
 
@@ -128,7 +129,10 @@ def run_config(
     points at real pygcn-format files (node configs); ``calibrated`` uses
     the difficulty-calibrated twins (data.planetoid.CALIBRATED) so twin
     accuracy is comparable to the published real-data numbers; ``seed``
-    overrides the config seed (multi-seed accuracy tables).
+    overrides the config seed (multi-seed accuracy tables); ``rollout``
+    (physics config only) > 0 runs the full deliverable — discrete IN +
+    IN-ODE trained on shared data and evaluated by rollout MSE over that
+    horizon (``train.physics.physics_rollout_curves``).
     """
     kind, cfg = get_config(i)
     cfg_name = CONFIG_NAMES[i] if isinstance(i, int) else i
@@ -154,10 +158,8 @@ def run_config(
         return dict(config=cfg_name, dataset=data.name, best=res["best"],
                     seconds=round(res["seconds"], 2))
     if kind == "physics":
-        import jax.numpy as jnp
-
         from graph_odenet_tpu.train.physics import (
-            fit_inode, rollout_mse,
+            fit_inode, physics_rollout_curves,
         )
 
         if scale != 1.0:
@@ -166,6 +168,11 @@ def run_config(
                 n_sims=max(8, int(cfg.n_sims * scale)),
                 n_steps=max(20, int(cfg.n_steps * scale)),
             )
+        if rollout > 0:
+            out = physics_rollout_curves(
+                cfg, horizon=rollout, n_test=max(4, int(64 * scale))
+            )
+            return dict(config=cfg_name, **out)
         res = fit_inode(cfg)
         out = {k: v for k, v in res.items() if isinstance(v, (int, float))}
         return dict(config=cfg_name, **out)

@@ -173,6 +173,15 @@ def synthetic_planetoid(
     rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 2**16)
 
     labels = rng.integers(0, c, size=n).astype(np.int32)
+    # Balanced labelled set: the real planetoid splits hold exactly 20
+    # training nodes per class (pygcn convention, SURVEY.md §2 R1), but
+    # random twin labels make the per-class count over ``range(20·c)``
+    # hypergeometric — seeds that draw 13–15 examples of some class score
+    # far below published (the round-3 cora seed-2 0.665 outlier).  Force
+    # the training range to exactly 20 per class like the real files.
+    tr_n = min(20 * c, n)
+    balanced = np.repeat(np.arange(c, dtype=np.int32), tr_n // c)
+    labels[: len(balanced)] = rng.permutation(balanced)
 
     # Edges: homophilous pairs via per-class pools, rest uniform.
     n_intra = int(e * homophily)

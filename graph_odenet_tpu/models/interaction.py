@@ -95,6 +95,10 @@ class INODE(nn.Module):
     atol: float = 1e-6
     steps: int = 16
     adjoint: bool = False
+    remat: bool = False         # rematerialise dynamics on backward — the
+                                # TPU HBM lever: without it the solver scan
+                                # stores every relation-MLP activation per
+                                # step (OOMs at batch 512 on a 16 GB chip)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -129,6 +133,8 @@ class INODE(nn.Module):
                 rel_attr,
             )["params"],
         )
+        if self.remat:
+            dynamics = jax.checkpoint(dynamics)
         integ = odeint_adjoint if self.adjoint else odeint
         return integ(
             dynamics, y0, ts, params,

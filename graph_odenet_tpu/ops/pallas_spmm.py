@@ -977,6 +977,16 @@ def _segment_reduce_recompute(
         seed_arr = jnp.zeros((1,), jnp.int32)
         drop_keep24, inv_keep = 0, 1.0
     else:
+        # The in-kernel mask reconstructs sender ids with a bf16 one-hot
+        # dot of row ids — exact only while row ids fit bf16's integer
+        # range (≤ 256).  BLOCK_ROWS is env-tunable (GODE_BLOCK_ROWS);
+        # beyond 256 the forward/backward masks would silently disagree.
+        if BLOCK_ROWS > 256:
+            raise ValueError(
+                "in-kernel dropout regeneration requires BLOCK_ROWS <= 256 "
+                f"(got {BLOCK_ROWS}); unset GODE_BLOCK_ROWS or use the "
+                "permute dWh path (GODE_GAT_DWH=permute)"
+            )
         seed, rate = dropout
         seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32)[None]
         drop_keep24, inv_keep = _dm.keep24(rate), 1.0 / (1.0 - rate)

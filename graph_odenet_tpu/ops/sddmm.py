@@ -111,9 +111,16 @@ def attention_aggregate(
     mask = g.edge_mask()[:, None]
     alpha = segment_softmax(logits, g.receivers, g.n_node_pad, mask=mask)
     if edge_dropout_rng is not None and edge_dropout_rate > 0.0:
-        keep = jax.random.bernoulli(
-            edge_dropout_rng, 1.0 - edge_dropout_rate, alpha.shape
+        # Same counter-based mask the Pallas path regenerates in-kernel
+        # (ops.dropmask) so segment and fused paths apply IDENTICAL masks
+        # — apples-to-apples numerics in tests and benchmarks.
+        from graph_odenet_tpu.ops.dropmask import (
+            attention_dropout_scale, seed_from_key,
         )
-        alpha = jnp.where(keep, alpha / (1.0 - edge_dropout_rate), 0.0)
+
+        alpha = alpha * attention_dropout_scale(
+            seed_from_key(edge_dropout_rng), g.senders, g.receivers,
+            alpha.shape[1], edge_dropout_rate,
+        )
     msgs = gather(values, g.senders) * alpha[..., None].astype(values.dtype)
     return segment_sum(msgs, g.receivers, num_segments=g.n_node_pad)

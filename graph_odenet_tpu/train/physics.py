@@ -23,7 +23,10 @@ from graph_odenet_tpu.data.nbody import SpringSystem, generate_trajectories, one
 from graph_odenet_tpu.models import INODE, InteractionNetwork
 from graph_odenet_tpu.utils.logging import MetricsLogger
 
-__all__ = ["PhysicsConfig", "fit_interaction_network", "rollout_discrete", "fit_inode"]
+__all__ = [
+    "PhysicsConfig", "fit_interaction_network", "rollout_discrete",
+    "fit_inode", "physics_rollout_curves",
+]
 
 
 @dataclasses.dataclass
@@ -46,6 +49,9 @@ class PhysicsConfig:
     ode_method: str = "dopri5_scan"
     ode_steps: int = 16
     ode_window: int = 10        # trajectory timesteps fitted per sample
+    ode_remat: bool = True      # remat dynamics in the solver scan — at
+                                # batch 512 the stored relation-MLP
+                                # activations otherwise need ~30 GB HBM
     rtol: float = 1e-4
     atol: float = 1e-6
     log_path: Optional[str] = None
@@ -181,6 +187,7 @@ def fit_inode(cfg: PhysicsConfig, trajs=None, system=None):
         object_hidden=cfg.object_hidden,
         method=cfg.ode_method,
         steps=cfg.ode_steps,
+        remat=cfg.ode_remat,
         rtol=cfg.rtol,
         atol=cfg.atol,
     )
@@ -233,4 +240,82 @@ def fit_inode(cfg: PhysicsConfig, trajs=None, system=None):
         trajs=trajs,
         window_mse=float(loss),
         seconds=time.time() - t0,
+    )
+
+
+def physics_rollout_curves(cfg: PhysicsConfig, horizon: int = 50, n_test: int = 64):
+    """Config 3's full deliverable: train discrete IN + IN-ODE on shared
+    trajectories, then evaluate BOTH by rollout MSE over ``horizon`` steps
+    on held-out test trajectories — the reference's rollout-MSE-vs-horizon
+    curve (SURVEY.md §2 R11, §3.4).
+
+    Returns a JSON-able dict with ``rollout_mse_discrete`` /
+    ``rollout_mse_inode`` curves (index = horizon step) plus the training
+    summaries.  Shared by ``scripts/run_config3.py``, ``configs.run_config
+    (3, rollout=...)`` and ``cli.py config 3 --rollout N``.
+    """
+    from graph_odenet_tpu.models import INODE
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(cfg.seed)
+    key, dkey, tkey = jax.random.split(key, 3)
+    system, trajs = _make_data(cfg, dkey)
+    test_trajs = generate_trajectories(system, tkey, n_test, horizon + 1)
+
+    res_in = fit_interaction_network(cfg, trajs=trajs, system=system)
+    res_ode = fit_inode(cfg, trajs=trajs, system=system)
+
+    init = test_trajs[:, 0]                         # [B, N, 1+2D]
+    pred_disc = rollout_discrete(
+        res_in["forward"], res_in["params"], system, init, horizon
+    )
+    mse_disc = rollout_mse(pred_disc, test_trajs[:, : horizon + 1])
+
+    # IN-ODE: one long integration over the horizon grid (same params,
+    # scan budget scaled so the solver can resolve the longer span).
+    model = res_ode["model"]
+    long_model = INODE(
+        dim=model.dim,
+        effect_dim=model.effect_dim,
+        relation_hidden=model.relation_hidden,
+        object_hidden=model.object_hidden,
+        method=model.method,
+        rtol=model.rtol,
+        atol=model.atol,
+        remat=model.remat,
+        steps=max(model.steps * (horizon // cfg.ode_window + 1), 64),
+    )
+    ts = jnp.arange(horizon + 1, dtype=jnp.float32) * system.dt
+    senders, receivers = system.edges()
+
+    @jax.jit
+    def ode_roll(params, init):
+        def one(w0):
+            y = long_model.apply(
+                {"params": params}, w0[..., 1:], ts, w0[..., :1],
+                senders, receivers,
+            )  # [T, N, 2D]
+            mass = jnp.broadcast_to(
+                w0[None, :, :1], (y.shape[0],) + w0[..., :1].shape
+            )
+            return jnp.concatenate([mass, y], axis=-1)
+
+        return jax.vmap(one)(init)
+
+    pred_ode = ode_roll(res_ode["params"], init)
+    mse_ode = rollout_mse(pred_ode, test_trajs[:, : horizon + 1])
+    return dict(
+        config="physics-in-ode",
+        platform=jax.default_backend(),
+        horizon=horizon,
+        n_test=n_test,
+        dt=float(system.dt),
+        one_step_mse=res_in["one_step_mse"],
+        window_mse=res_ode["window_mse"],
+        train_seconds_in=round(res_in["seconds"], 1),
+        train_seconds_inode=round(res_ode["seconds"], 1),
+        rollout_mse_discrete=[float(x) for x in mse_disc],
+        rollout_mse_inode=[float(x) for x in mse_ode],
+        cfg=dataclasses.asdict(cfg),
+        total_seconds=round(time.time() - t0, 1),
     )

@@ -1,13 +1,23 @@
 """Calibrate synthetic-twin difficulty (data/planetoid.CALIBRATED).
 
-Sweeps twin-generator knobs and trains the canonical 2-layer GCN (config-0
-recipe) so the twin's test accuracy lands near the published real-data
-number (Cora .815 / Citeseer .703 / Pubmed .790) — then the twins can
-falsify ODE-vs-discrete accuracy claims instead of saturating (SURVEY.md
-§6, round-1 VERDICT "what's missing" #1).
+Sweeps twin-generator knobs and trains the canonical recipes so the twin's
+test accuracy lands near the published real-data numbers — then the twins
+can falsify ODE-vs-discrete accuracy claims instead of saturating
+(SURVEY.md §6, round-1 VERDICT missing #1).
 
-Usage: python scripts/calibrate_twins.py <dataset> [h=0.7] [cvf=0.6] [nw=14]
-       (no args: coarse grid per dataset)
+Round-4 extension (round-3 VERDICT #3): calibrate **jointly** for the
+2-layer GCN (config-0 recipe) AND the canonical 8×8-head GAT (Veličković
+recipe) — the GAT rows previously ran ~3–11 pts high because attention
+exploits clean SBM block structure.  The differential knob is feature
+noise (``noise_words``): it degrades attention's ability to separate
+intra- from inter-class edges much faster than it degrades mean
+aggregation, while ``homophily`` compensates the GCN side.
+
+Usage:
+  python scripts/calibrate_twins.py <dataset> h cvf nw [models...]
+      one point, e.g. ``cora 0.82 0.6 18 gcn gat``
+  python scripts/calibrate_twins.py grid [dataset]
+      coarse joint grid (gcn+gat) per dataset
 """
 
 import itertools
@@ -24,29 +34,50 @@ from graph_odenet_tpu.train import (  # noqa: E402
     NodeClassConfig, fit_node_classifier,
 )
 
-TARGET = {"cora": 0.815, "citeseer": 0.703, "pubmed": 0.790}
+# Published real-data targets (SURVEY.md §6): GCN Kipf & Welling 2017,
+# GAT Veličković et al. 2018.
+TARGET = {
+    "cora": {"gcn": 0.815, "gat": 0.830},
+    "citeseer": {"gcn": 0.703, "gat": 0.725},
+    "pubmed": {"gcn": 0.790, "gat": 0.790},
+}
+
+RECIPES = {
+    "gcn": dict(
+        model="gcn", hidden=16, dropout=0.5, lr=0.01, weight_decay=5e-4,
+        epochs=200, patience=100,
+    ),
+    "gat": dict(
+        model="gat", hidden=8, heads=8, dropout=0.6, lr=0.005,
+        weight_decay=5e-4, epochs=300, patience=100,
+    ),
+}
 
 
-def run(name, h, cvf, nw, seeds=(0, 1)):
-    accs = []
-    for seed in seeds:
-        data = synthetic_planetoid(
-            name, seed=seed, homophily=h, class_vocab_frac=cvf,
-            noise_words=nw,
+def run(name, h, cvf, nw, seeds=(0, 1), models=("gcn", "gat")):
+    out = {}
+    for model in models:
+        accs = []
+        for seed in seeds:
+            data = synthetic_planetoid(
+                name, seed=seed, homophily=h, class_vocab_frac=cvf,
+                noise_words=nw,
+            )
+            cfg = NodeClassConfig(
+                seed=seed,
+                representation="segment" if name == "pubmed" else None,
+                **RECIPES[model],
+            )
+            accs.append(fit_node_classifier(cfg, data)["best"]["test_acc"])
+        mean = sum(accs) / len(accs)
+        out[model] = mean
+        print(
+            f"{name} h={h:.2f} cvf={cvf:.2f} nw={nw} {model}: "
+            f"acc={mean:.3f} (target {TARGET[name][model]:.3f}) "
+            f"{[round(a, 3) for a in accs]}",
+            flush=True,
         )
-        cfg = NodeClassConfig(
-            model="gcn", hidden=16, dropout=0.5, lr=0.01, weight_decay=5e-4,
-            epochs=200, patience=100, seed=seed,
-            representation="segment" if name == "pubmed" else None,
-        )
-        accs.append(fit_node_classifier(cfg, data)["best"]["test_acc"])
-    mean = sum(accs) / len(accs)
-    print(
-        f"{name} h={h:.2f} cvf={cvf:.2f} nw={nw}: "
-        f"acc={mean:.3f} (target {TARGET[name]:.3f}) {accs}",
-        flush=True,
-    )
-    return mean
+    return out
 
 
 if __name__ == "__main__":
@@ -55,10 +86,13 @@ if __name__ == "__main__":
         h = float(sys.argv[2]) if len(sys.argv) > 2 else 0.7
         cvf = float(sys.argv[3]) if len(sys.argv) > 3 else 0.6
         nw = int(sys.argv[4]) if len(sys.argv) > 4 else 14
-        run(name, h, cvf, nw)
+        models = tuple(sys.argv[5:]) or ("gcn", "gat")
+        run(name, h, cvf, nw, models=models)
     else:
-        for name in ("cora", "citeseer", "pubmed"):
-            for h, cvf, nw in itertools.product(
-                (0.6, 0.75), (0.6, 0.8), (10, 18)
-            ):
-                run(name, h, cvf, nw, seeds=(0,))
+        names = (
+            [sys.argv[2]] if len(sys.argv) > 2 else
+            ["cora", "citeseer", "pubmed"]
+        )
+        for name in names:
+            for h, nw in itertools.product((0.82, 0.88), (18, 30, 45)):
+                run(name, h, 0.6, nw, seeds=(0,))

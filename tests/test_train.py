@@ -58,6 +58,25 @@ def test_interaction_network_one_step_and_rollout():
     assert curve[0] < 1e-9  # step 0 is the shared initial state
 
 
+def test_physics_rollout_curves_deliverable():
+    """Config 3's deliverable function: both curves finite, start at ~0,
+    and carry the training summaries (SURVEY.md §2 R11)."""
+    from graph_odenet_tpu.train.physics import physics_rollout_curves
+
+    cfg = PhysicsConfig(
+        n_bodies=3, n_sims=8, n_steps=20, epochs=1, batch_size=64,
+        ode_method="rk4", ode_steps=2, ode_window=5,
+        relation_hidden=(32,), object_hidden=(32,), seed=1,
+    )
+    out = physics_rollout_curves(cfg, horizon=6, n_test=4)
+    disc = np.asarray(out["rollout_mse_discrete"])
+    ode = np.asarray(out["rollout_mse_inode"])
+    assert disc.shape == (7,) and ode.shape == (7,)
+    assert np.all(np.isfinite(disc)) and np.all(np.isfinite(ode))
+    assert disc[0] < 1e-9 and ode[0] < 1e-9
+    assert np.isfinite(out["one_step_mse"]) and np.isfinite(out["window_mse"])
+
+
 def test_inode_window_fit():
     cfg = PhysicsConfig(
         n_bodies=3, n_sims=8, n_steps=20, epochs=3, batch_size=64,
