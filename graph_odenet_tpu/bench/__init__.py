@@ -298,7 +298,7 @@ def ode_model_bench(
     method: str = "dopri5", rtol: float = 1e-3, atol: float = 1e-4,
     representation: str = "auto", iters: int = 10, seed: int = 0,
     mode: str = "fwd", dropout: float | None = None,
-    steps: int = 32, remat: bool = False,
+    steps: int = 32, remat: bool = False, adjoint: bool = False,
 ):
     """NFE/s of the REAL flagship models (encoder → ODEBlock → readout),
     not a hand-rolled dynamics (round-1 VERDICT weak #6).
@@ -338,7 +338,11 @@ def ode_model_bench(
         adj = g
     n_class = 8
     train = mode == "train_step"
-    if train and method in (
+    # The O(1)-memory continuous adjoint differentiates through its own
+    # reverse integration, so the forward may keep the true while_loop
+    # solver; direct backprop needs the bounded reverse-differentiable
+    # _scan variants.
+    if train and not adjoint and method in (
         "dopri5", "dopri8", "bosh3", "adaptive_heun", "fehlberg2", "adams",
     ):
         method = method + "_scan"
@@ -346,7 +350,7 @@ def ode_model_bench(
         dropout = (0.5 if model == "gcnode" else 0.6) if train else 0.0
     kw = dict(
         n_class=n_class, method=method, rtol=rtol, atol=atol,
-        steps=steps, dropout=dropout, remat=remat,
+        steps=steps, dropout=dropout, remat=remat, adjoint=adjoint,
     )
     if model == "gcnode":
         m = GCNODE(hidden=hidden, **kw)
@@ -416,7 +420,8 @@ def ode_model_bench(
     nfe = int(nfe)
     return dict(
         model=model, method=method, representation=representation,
-        mode=mode, dropout=dropout,
+        mode=mode, dropout=dropout, steps=steps, remat=remat,
+        adjoint=adjoint,
         n_node=g.n_node, n_edge=g.n_edge, nfe=nfe, seconds=t,
         nfe_per_s=nfe / t, edges_per_s=nfe * g.n_edge / t,
     )

@@ -131,6 +131,62 @@ __all__ = [
 
 _NEG = -1e30  # python float: jnp scalars would be captured consts in-kernel
 
+
+def _split3(x, n_parts=3):
+    """Mantissa-split an f32 array into bf16-representable f32 parts.
+
+    Each part is exactly representable in bf16, so a kernel can cast and
+    matmul them in ONE exact MXU pass instead of the 3 passes `_mask_dot`
+    spends splitting in-kernel — the XLA-side split is a cheap elementwise
+    prepass on small node tables (round-4 backward-pass diet)."""
+    parts = []
+    rest = x
+    for _ in range(n_parts - 1):
+        hi = rest.astype(jnp.bfloat16).astype(jnp.float32)
+        parts.append(hi)
+        rest = rest - hi
+    parts.append(rest.astype(jnp.bfloat16).astype(jnp.float32))
+    return parts
+
+
+def _n_parts():
+    return {"highest": 3, "bf16x2": 2, "default": 1}[_MODE]
+
+
+def _exact_dot(exact01, presplit, dn, *, exact_lhs=True):
+    """One-pass matmul: ``exact01`` a 0/1 mask, ``presplit`` f32 values that
+    are already bf16-representable (see ``_split3``) — both sides cast to
+    bf16 losslessly, so a single MXU pass is f32-exact."""
+    a = exact01.astype(jnp.bfloat16)
+    b = presplit.astype(jnp.bfloat16)
+    x, y = (a, b) if exact_lhs else (b, a)
+    return jax.lax.dot_general(
+        x, y, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+
+
+def _inkernel_drop_scale(snd_i32, rcv_i32, heads, seed_u32, keep24, inv_keep):
+    """Regenerate the counter-based attention-dropout scale in-kernel:
+    ``[H, 128e]`` f32 — exactly ``ops.dropmask.attention_dropout_scale``
+    for the same (sender, receiver, head, seed)."""
+    from graph_odenet_tpu.ops import dropmask as _dm
+
+    as_u32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+    x = (
+        as_u32(snd_i32) * jnp.uint32(_dm.K_SND)
+        ^ as_u32(rcv_i32) * jnp.uint32(_dm.K_RCV)
+    )                                                   # [1, 128e]
+    h_i = jax.lax.broadcasted_iota(jnp.int32, (heads, 1), 0)
+    hx = as_u32(h_i) * jnp.uint32(_dm.K_HEAD) ^ seed_u32
+    x = x ^ hx                                          # [H, 128e]
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(_dm.F1)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(_dm.F2)
+    x = x ^ (x >> 16)
+    keep = (x >> 8) < jnp.uint32(keep24)
+    return keep.astype(jnp.float32) * inv_keep
+
 # Packed-kernel softmax shift (GODE_GAT_SOFTMAX):
 #   "scan"       — exact per-receiver chunk-local max via segmented scan
 #                  (default; robust to any logit spread).
@@ -143,9 +199,10 @@ _PACKED_SOFTMAX = os.environ.get("GODE_GAT_SOFTMAX", "scan").lower()
 
 def _gat_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    seed_ref,           # scalar prefetch: i32[1] dropout seed (0 if unused)
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
     vals_hbm,           # f32 ANY/HBM [HV, E_pad, Fp]  (HV=1 when packed)
-    rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    meta_hbm,           # i32 ANY/HBM [2, E_pad/128, 128]: rel | sender id
     dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
                         #   (dummy [H, 1, 128] when use_dmask=False)
     out_ref,            # VMEM [BLOCK_ROWS, HV*... = packed? 128 : H*Fp]
@@ -153,15 +210,17 @@ def _gat_kernel(
     l_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     logit_scratch,      # VMEM [2, H, SUBS, 128]
     val_scratch,        # VMEM [2, HV, E_CHUNK, Fp]
-    rel_scratch,        # VMEM [2, SUBS, 128]
+    meta_scratch,       # VMEM [2, 2, SUBS, 128] i32
     dmask_scratch,      # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
-    sems,               # DMA sems [2, 1 + H + HV (+ H)]
+    sems,               # DMA sems [2, 2 + HV (+ 1)]
     *,
     heads: int,
     feat: int,          # Fp (lane-padded per-head width; 128 when packed)
     true_feat: int,     # logical per-head F (lane stride in packed mode)
     packed: bool,       # all heads share one 128-lane value plane
     use_dmask: bool,    # post-softmax attention dropout scales streamed in
+    drop_keep24: int = 0,   # >0: regenerate the counter mask in-kernel
+    inv_keep: float = 1.0,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -181,36 +240,32 @@ def _gat_kernel(
         start = dma_start(k)
         copies = [
             pltpu.make_async_copy(
-                rel_hbm.at[pl.ds(start // 128, SUBS), :],
-                rel_scratch.at[slot],
+                meta_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                meta_scratch.at[slot],
                 sems.at[slot, 0],
-            )
+            ),
+            pltpu.make_async_copy(
+                logits_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                logit_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
         ]
-        for h in range(heads):
-            copies.append(
-                pltpu.make_async_copy(
-                    logits_hbm.at[h, pl.ds(start // 128, SUBS), :],
-                    logit_scratch.at[slot, h],
-                    sems.at[slot, 1 + h],
-                )
-            )
         for v in range(n_val):
             copies.append(
                 pltpu.make_async_copy(
                     vals_hbm.at[v, pl.ds(start, E_CHUNK), :],
                     val_scratch.at[slot, v],
-                    sems.at[slot, 1 + heads + v],
+                    sems.at[slot, 2 + v],
                 )
             )
         if use_dmask:
-            for h in range(heads):
-                copies.append(
-                    pltpu.make_async_copy(
-                        dmask_hbm.at[h, pl.ds(start // 128, SUBS), :],
-                        dmask_scratch.at[slot, h],
-                        sems.at[slot, 1 + heads + n_val + h],
-                    )
+            copies.append(
+                pltpu.make_async_copy(
+                    dmask_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                    dmask_scratch.at[slot],
+                    sems.at[slot, 2 + n_val],
                 )
+            )
         return copies
 
     @pl.when(n_chunks > 0)
@@ -245,12 +300,19 @@ def _gat_kernel(
         for c in issue(k, slot):
             c.wait()
 
-        rel_all = rel_scratch[slot]          # [SUBS, 128]
+        rel_all = meta_scratch[slot, 0]      # [SUBS, 128]
+        snd_all = meta_scratch[slot, 1]      # [SUBS, 128]
         accs, ms, ls = list(accs), list(ms), list(ls)
         for sub in range(SUBS):
             e_idx = lane + dma_start(k) + sub * 128
             valid = (e_idx >= p0) & (e_idx < p1)                 # [1, 128]
-            mask = (rows == rel_all[sub][None, :]) & valid       # [R, 128]
+            relv = rel_all[sub][None, :]
+            mask = (rows == relv) & valid                        # [R, 128]
+            if drop_keep24:
+                d_all = _inkernel_drop_scale(
+                    snd_all[sub][None, :], relv + 128 * b, heads,
+                    seed_ref[0].astype(jnp.uint32), drop_keep24, inv_keep,
+                )                                                # [H, 128e]
             if packed:
                 v_sub = val_scratch[slot, 0, pl.ds(sub * 128, 128), :]
                 acc_scale = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
@@ -258,9 +320,11 @@ def _gat_kernel(
                 for h in range(heads):
                     le = logit_scratch[slot, h][sub][None, :]
                     p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
-                    if use_dmask:
+                    if drop_keep24:
                         # Dropout scales α numerators only; the softmax
                         # denominator (l) keeps every edge (GAT convention).
+                        p = p * d_all[h][None, :]
+                    elif use_dmask:
                         p = p * dmask_scratch[slot, h][sub][None, :]
                     headmask = (
                         (lane >= h * true_feat) & (lane < (h + 1) * true_feat)
@@ -275,7 +339,9 @@ def _gat_kernel(
                 for h in range(heads):
                     le = logit_scratch[slot, h][sub][None, :]
                     p, scale, ms[h], ls[h] = head_stats(mask, le, ms[h], ls[h])
-                    if use_dmask:
+                    if drop_keep24:
+                        p = p * d_all[h][None, :]
+                    elif use_dmask:
                         p = p * dmask_scratch[slot, h][sub][None, :]
                     v_sub = val_scratch[slot, h, pl.ds(sub * 128, 128), :]
                     accs[h] = accs[h] * scale + _att_dot(
@@ -348,22 +414,25 @@ def _unpack_interleaved(x2d, heads, feat):
 
 def _gat_kernel_packed(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    seed_ref,           # scalar prefetch: i32[1] dropout seed (0 if unused)
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
     vals_hbm,           # f32 ANY/HBM [1, E_pad, 128] interleaved lanes f·H+h
-    rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    meta_hbm,           # i32 ANY/HBM [2, E_pad/128, 128]: rel | sender id
     dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
     out_ref,            # VMEM [BLOCK_ROWS, 128]
     m_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     l_ref,              # VMEM [BLOCK_ROWS, 128]  (first H lanes live)
     logit_scratch,      # VMEM [2, H, SUBS, 128]
     val_scratch,        # VMEM [2, 1, E_CHUNK, 128]
-    rel_scratch,        # VMEM [2, SUBS, 128]
+    meta_scratch,       # VMEM [2, 2, SUBS, 128] i32
     dmask_scratch,      # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
-    sems,               # DMA sems [2, 2 + (H if use_dmask)]
+    sems,               # DMA sems [2, 3 (+ 1 if use_dmask)]
     *,
     heads: int,
     true_feat: int,     # logical per-head F (H·F ≤ 128)
     use_dmask: bool,
+    drop_keep24: int = 0,   # >0: regenerate the counter mask in-kernel
+    inv_keep: float = 1.0,
 ):
     """Packed (H·F ≤ 128) fused GAT forward — lane-local segmented softmax.
 
@@ -398,8 +467,8 @@ def _gat_kernel_packed(
         start = base + k * chunk
         copies = [
             pltpu.make_async_copy(
-                rel_hbm.at[pl.ds(start // 128, SUBS), :],
-                rel_scratch.at[slot],
+                meta_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                meta_scratch.at[slot],
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
@@ -441,13 +510,15 @@ def _gat_kernel_packed(
         """[R, H] per-head scalars → [R, 128] interleaved value lanes.
 
         Single head: plain lane broadcast (a 128-way pltpu.repeat of a
-        1-lane array blows the compiler's scoped-vmem budget).  Dead lanes
-        past H·F may carry a live scale — harmless, they only ever multiply
-        zeros (Q/acc are zero there)."""
+        1-lane array blows the compiler's scoped-vmem budget).  Multi-head:
+        the K=heads MXU contraction — measured faster than BOTH
+        pltpu.repeat (16 ms/pass slower: per-tile copies) and log2 lane-
+        roll doubling (round 4: 4 rolls of [128, 128] cost more than the
+        3 split passes — cross-lane rotates go through the shuffle unit).
+        Dead lanes past H·F may carry a live scale — harmless, they only
+        ever multiply zeros (Q/acc are zero there)."""
         if heads == 1:
             return jnp.broadcast_to(s, (s.shape[0], 128))
-        # Native K=heads MXU contraction — measured 16 ms/pass faster than
-        # pltpu.repeat at arxiv scale (the repeat lowers to per-tile copies).
         return _mask_dot(
             expand_f32, s, (((1,), (0,)), ((), ())), exact_lhs=False
         )
@@ -466,7 +537,8 @@ def _gat_kernel_packed(
         for c in issue(k, slot):
             c.wait()
 
-        rel_all = rel_scratch[slot]                       # [SUBS, 128]
+        rel_all = meta_scratch[slot, 0]                   # [SUBS, 128]
+        snd_all = meta_scratch[slot, 1]                   # [SUBS, 128]
         for sub in range(SUBS):
             e_idx = lane + base + k * chunk + sub * 128
             valid = (e_idx >= p0) & (e_idx < p1)          # [1, 128]
@@ -520,21 +592,15 @@ def _gat_kernel_packed(
             bundleT = jnp.concatenate(
                 [q, mseg * is_last], axis=0
             ).T                                            # [128e, 2H]
-            stats = _mask_dot(
-                oh, bundleT, (((1,), (0,)), ((), ())), exact_lhs=True
-            )                                              # [R, 2H]
-            l_c = stats[:, :heads]
-            # l_c > 0 ⟺ the receiver has (non-underflowed) edges in this
-            # sub-chunk; in "scan" mode q's segment max is exactly 1 so
-            # this is precisely "has edges".
-            m_c = jnp.where(
-                l_c > 0.0, stats[:, heads : 2 * heads], _NEG
-            )                                              # [R, H]
-            m_n = jnp.maximum(m, m_c)
-            s_old = jnp.exp(m - m_n)
-            s_c = jnp.exp(m_c - m_n)
-            l = l * s_old + l_c * s_c
-            q_pv = q * dmask_scratch[slot][:, sub, :] if use_dmask else q
+            if drop_keep24:
+                q_pv = q * _inkernel_drop_scale(
+                    snd_all[sub][None, :], relv + 128 * b, heads,
+                    seed_ref[0].astype(jnp.uint32), drop_keep24, inv_keep,
+                )
+            elif use_dmask:
+                q_pv = q * dmask_scratch[slot][:, sub, :]
+            else:
+                q_pv = q
             # Q[e, f·H+h] = q[h, e]: lane-transpose then tile-repeat
             # (broadcast when single-head — see rep()).
             qT = q_pv.T                                    # [128e, H]
@@ -545,9 +611,26 @@ def _gat_kernel_packed(
                 if hf < 128:
                     Q = jnp.pad(Q, ((0, 0), (0, 128 - hf)))
             v_sub = val_scratch[slot, 0, pl.ds(sub * 128, 128), :]
+            # (Round-4 note: fusing the stats columns into the value
+            # contraction as lanes [hf, hf+2H) of one matmul saved 3 MXU
+            # passes but measured ~3 ms SLOWER — the off-tile lane slices
+            # extracting l_c/m_c relayout through the shuffle unit.)
+            stats = _mask_dot(
+                oh, bundleT, (((1,), (0,)), ((), ())), exact_lhs=True
+            )                                              # [R, 2H]
             pv = _mask_dot(
                 oh, Q * v_sub, (((1,), (0,)), ((), ())), exact_lhs=True
             )                                              # [R, 128]
+            l_c = stats[:, :heads]
+            m_raw = stats[:, heads : 2 * heads]
+            # l_c > 0 ⟺ the receiver has (non-underflowed) edges in this
+            # sub-chunk; in "scan" mode q's segment max is exactly 1 so
+            # this is precisely "has edges".
+            m_c = jnp.where(l_c > 0.0, m_raw, _NEG)        # [R, H]
+            m_n = jnp.maximum(m, m_c)
+            s_old = jnp.exp(m - m_n)
+            s_c = jnp.exp(m_c - m_n)
+            l = l * s_old + l_c * s_c
             acc = acc * rep(s_old) + pv * rep(s_c)
             m = m_n
         return acc, m, l
@@ -568,10 +651,12 @@ def _gat_kernel_packed(
 
 def _gat_call(
     csr: PallasCSR, logits3d, vals3d, dmask3d, heads, featp, true_feat,
-    packed, *, interpret,
+    packed, *, interpret, drop=None,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from graph_odenet_tpu.ops import dropmask as _dm
 
     nb = csr.n_blocks
     n_val = 1 if packed else heads
@@ -579,6 +664,14 @@ def _gat_call(
     use_dmask = dmask3d is not None
     if not use_dmask:
         dmask3d = jnp.zeros((heads, 1, 128), jnp.float32)
+    if drop is None:
+        seed_arr = jnp.zeros((1,), jnp.int32)
+        drop_keep24, inv_keep = 0, 1.0
+    else:
+        seed, rate = drop
+        seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32)[None]
+        drop_keep24, inv_keep = _dm.keep24(rate), 1.0 / (1.0 - rate)
+    meta = jnp.stack([csr.rel, csr.senders.reshape(-1, 128)])
     if packed and heads > 1:
         # Multi-head packed: the segmented-scan kernel (one main MXU
         # contraction per sub-chunk).  Single head sticks with the general
@@ -587,17 +680,17 @@ def _gat_call(
         # fwd at arxiv scale, H=1 F=128).
         kernel = partial(
             _gat_kernel_packed, heads=heads, true_feat=true_feat,
-            use_dmask=use_dmask,
+            use_dmask=use_dmask, drop_keep24=drop_keep24, inv_keep=inv_keep,
         )
-        n_sems = 3 + (1 if use_dmask else 0)
     else:
         kernel = partial(
             _gat_kernel, heads=heads, feat=featp, true_feat=true_feat,
-            packed=packed, use_dmask=use_dmask,
+            packed=packed, use_dmask=use_dmask, drop_keep24=drop_keep24,
+            inv_keep=inv_keep,
         )
-        n_sems = 1 + heads + n_val + (heads if use_dmask else 0)
+    n_sems = 2 + n_val + (1 if use_dmask else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -619,7 +712,7 @@ def _gat_call(
         scratch_shapes=[
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
             pltpu.VMEM((2, n_val, E_CHUNK, featp), jnp.float32),
-            pltpu.VMEM((2, SUBS, 128), jnp.int32),
+            pltpu.VMEM((2, 2, SUBS, 128), jnp.int32),
             pltpu.VMEM(
                 (2, heads, SUBS, 128) if use_dmask else (2, 1, 1, 128),
                 jnp.float32,
@@ -636,7 +729,7 @@ def _gat_call(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(csr.blk_ptr, logits3d, vals3d, csr.rel, dmask3d)
+    )(csr.blk_ptr, seed_arr, logits3d, vals3d, meta, dmask3d)
 
 
 def _vals_edge_major(csr: PallasCSR, wh: jax.Array, packed: bool, featp: int):
@@ -666,10 +759,17 @@ def _vals_edge_major(csr: PallasCSR, wh: jax.Array, packed: bool, featp: int):
 
 
 def _fwd_impl(
-    csr: PallasCSR, logits: jax.Array, wh: jax.Array, dmask=None
+    csr: PallasCSR, logits: jax.Array, wh: jax.Array, dmask=None, drop=None
 ):
     """logits: [E, H] (Graph edge order, any 128-multiple ≥ n_edge);
-    wh: [N_pad, H, F]; dmask: optional [E, H] post-softmax α scale."""
+    wh: [N_pad, H, F]; dmask: optional [E, H] post-softmax α scale;
+    drop: optional (seed, rate) — the counter-based training dropout,
+    regenerated INSIDE the kernel (no mask array, no extra DMA plane).
+
+    Returns ``(out, m, l, logits3d, vals)`` — the last two are the kernel's
+    own HBM input layouts, handed back so the backward can reuse them as
+    residuals instead of re-paying the _to3d relayout and the sender
+    gather (~1.3 + 6 ms at arxiv scale)."""
     e_pad = csr.senders.shape[0]  # prepare() pads edges to E_CHUNK multiples
     heads = logits.shape[1]
     feat = wh.shape[-1]
@@ -680,14 +780,14 @@ def _fwd_impl(
     vals = _vals_edge_major(csr, wh, packed, featp)
     out, m, l = _gat_call(
         csr, logits3d, vals, dmask3d, heads, featp, feat, packed,
-        interpret=not _is_tpu(),
+        interpret=not _is_tpu(), drop=drop,
     )
     n = csr.n_node_pad
     if packed:
         out = _unpack_interleaved(out[:n], heads, feat)
     else:
         out = out.reshape(out.shape[0], heads, featp)[:n, :, :feat]
-    return out, m[:n, :heads], l[:n, :heads]
+    return out, m[:n, :heads], l[:n, :heads], logits3d, vals
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -706,7 +806,7 @@ def gat_aggregate_pallas(
 
     Returns ``[N_pad, H, F]``.
     """
-    out, _, _ = _fwd_impl(csr, logits, wh)
+    out, *_ = _fwd_impl(csr, logits, wh)
     return out
 
 
@@ -722,32 +822,55 @@ def gat_aggregate_pallas_dropout(
     (XLA-side RNG) so the same mask flows through forward and backward and
     tests can inject known masks.  ``dmask`` gets a zero cotangent.
     """
-    out, _, _ = _fwd_impl(csr, logits, wh, dmask)
+    out, *_ = _fwd_impl(csr, logits, wh, dmask)
     return out
+
+
+def _g_packing(live: int):
+    """How the pre-split g parts pack into 128-lane MXU operands.
+
+    Returns (n_parts, per_op, n_ops): ``per_op`` mantissa parts ride one
+    [R, 128] operand at lane offsets j·live, so each operand costs ONE
+    exact bf16 MXU pass (vs 3 in-kernel split passes).  live=64 (the
+    reference's 8×8 recipe): 3 parts → 2 ops; live=128: 3 ops (same pass
+    count as before, still skips the in-kernel splitting); live≤42: all 3
+    parts in one op.  live>128 (multi-tile planes): no pre-split —
+    (0, 0, 0) sentinel, callers keep the in-kernel `_mask_dot` path."""
+    if live > 128:
+        return 0, 0, 0
+    p = _n_parts()
+    per_op = max(1, 128 // live)
+    n_ops = -(-p // per_op)
+    return p, per_op, n_ops
 
 
 def _gat_bwd_kernel(
     blk_ptr_ref,        # scalar prefetch: i32[NB+1] in SMEM
+    seed_ref,           # scalar prefetch: i32[1] dropout seed (0 if unused)
     logits_hbm,         # f32 ANY/HBM [H, E_pad/128, 128]
     vals_hbm,           # f32 ANY/HBM [HV, E_pad, Fp]  edge-major v=Wh[send]
                         #   (same layout the forward kernel streams — the
                         #   per-edge dot is computed edge-major below, so no
                         #   feature-major transpose ever materialises in HBM)
-    rel_hbm,            # i32 ANY/HBM [E_pad/128, 128]
+    meta_hbm,           # i32 ANY/HBM [2, E_pad/128, 128]: rel | sender id
     dmask_hbm,          # f32 ANY/HBM [H, E_pad/128, 128] α-dropout scale
-    g_blk,              # VMEM [BLOCK_ROWS, hf]   upstream cotangent rows
-    mlb_blk,            # VMEM [BLOCK_ROWS, 128]  lanes [m_h | l_h | beta_h]
+                        #   (explicit-mask mode only; dummy otherwise)
+    g_blk,              # VMEM [BLOCK_ROWS, n_ops·128] pre-split cotangent
+                        #   parts, per_op parts per 128-lane operand
+    mlb_blk,            # VMEM [BLOCK_ROWS, 128] pre-split [m|l|β] parts:
+                        #   part p at lanes [3H·p, 3H·(p+1))
     dl_hbm,             # out ANY [H, E_pad/128, 128]  dlogits (row layout)
-    al_hbm,             # out ANY [H, E_pad/128, 128]  α·D     (row layout)
+    al_hbm,             # out ANY [H, E_pad/128, 128]  α·D (row layout;
+                        #   [H, 1, 128] dummy when emit_alpha=False)
     logit_scr,          # VMEM [2, H, SUBS, 128]
     val_scr,            # VMEM [2, HV, E_CHUNK, Fp]
-    rel_scr,            # VMEM [2, SUBS, 128]
+    meta_scr,           # VMEM [2, 2, SUBS, 128] i32
     dmask_scr,          # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
     dl_scr,             # VMEM [2, H, SUBS, 128]
-    al_scr,             # VMEM [2, H, SUBS, 128]
+    al_scr,             # VMEM [2, H, SUBS, 128] (or [2,1,1,128] dummy)
     old_dl,             # VMEM [H, SUBS, 128]   predecessor's first-chunk tile
-    old_al,             # VMEM [H, SUBS, 128]
-    in_sems,            # DMA sems [2, 1 + H + HV (+ H)]
+    old_al,             # VMEM [H, SUBS, 128] (or [1,1,128] dummy)
+    in_sems,            # DMA sems [2, 2 + HV (+ H)]
     out_sems,           # DMA sems [2]
     old_sems,           # DMA sems [2]
     *,
@@ -755,7 +878,12 @@ def _gat_bwd_kernel(
     featp: int,         # per-plane lane width (128 when packed)
     true_feat: int,     # logical per-head F
     packed: bool,
-    use_dmask: bool,
+    use_dmask: bool,    # stream an explicit [E, H] mask (test injection)
+    drop_keep24: int,   # >0: regenerate the counter-based mask in-kernel
+    inv_keep: float,
+    emit_alpha: bool,   # write the α·D plane (False when the recompute-α
+                        #   dWh pass regenerates α itself — saves an output
+                        #   stream and its per-chunk write barrier)
 ):
     """α and dlogit per edge, in one pass over the receiver-block tiling.
 
@@ -765,7 +893,13 @@ def _gat_bwd_kernel(
     chunk in the layout it is DMA'd in), and the per-head dots land
     row-major by contracting the feature axis against head_sel.  XLA-side
     per-edge gathers are dispatch-bound on TPU (~5 ms per [E, 1] gather at
-    1.4M edges — measured), which is why α is NOT reconstructed outside."""
+    1.4M edges — measured), which is why α is NOT reconstructed outside.
+
+    Round-4 diet: mlb/g arrive mantissa-PRE-SPLIT (XLA-side `_split3`) so
+    their one-hot contractions are single exact bf16 passes recombined by
+    VPU rolls; rel+sender ride ONE merged i32 DMA plane; training dropout
+    is regenerated in-kernel from (sender, receiver, head, seed) instead of
+    streaming a mask plane."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -776,41 +910,43 @@ def _gat_bwd_kernel(
     chunk = jnp.int32(E_CHUNK)
     base = (p0 // chunk) * chunk
     n_chunks = pl.cdiv(p1 - base, chunk)
+    hf = n_val * (128 if packed else featp)
+    # g's live lane count (packed planes zero-pad beyond H·F): parts pack
+    # at multiples of this width.
+    live = heads * true_feat if packed else hf
+    n_parts, per_op, n_ops = _g_packing(live)
+    mlb_parts = _n_parts() if 3 * heads * _n_parts() <= 128 else 1
 
     def issue(k, slot):
         start = base + k * chunk
         copies = [
             pltpu.make_async_copy(
-                rel_hbm.at[pl.ds(start // 128, SUBS), :],
-                rel_scr.at[slot],
+                meta_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                meta_scr.at[slot],
                 in_sems.at[slot, 0],
-            )
+            ),
+            pltpu.make_async_copy(
+                logits_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                logit_scr.at[slot],
+                in_sems.at[slot, 1],
+            ),
         ]
-        for h in range(heads):
-            copies.append(
-                pltpu.make_async_copy(
-                    logits_hbm.at[h, pl.ds(start // 128, SUBS), :],
-                    logit_scr.at[slot, h],
-                    in_sems.at[slot, 1 + h],
-                )
-            )
         for v in range(n_val):
             copies.append(
                 pltpu.make_async_copy(
                     vals_hbm.at[v, pl.ds(start, E_CHUNK), :],
                     val_scr.at[slot, v],
-                    in_sems.at[slot, 1 + heads + v],
+                    in_sems.at[slot, 2 + v],
                 )
             )
         if use_dmask:
-            for h in range(heads):
-                copies.append(
-                    pltpu.make_async_copy(
-                        dmask_hbm.at[h, pl.ds(start // 128, SUBS), :],
-                        dmask_scr.at[slot, h],
-                        in_sems.at[slot, 1 + heads + n_val + h],
-                    )
+            copies.append(
+                pltpu.make_async_copy(
+                    dmask_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                    dmask_scr.at[slot],
+                    in_sems.at[slot, 2 + n_val],
                 )
+            )
         return copies
 
     @pl.when(n_chunks > 0)
@@ -821,13 +957,14 @@ def _gat_bwd_kernel(
         pltpu.make_async_copy(
             dl_hbm.at[:, pl.ds(base // 128, SUBS), :], old_dl, old_sems.at[0]
         ).start()
-        pltpu.make_async_copy(
-            al_hbm.at[:, pl.ds(base // 128, SUBS), :], old_al, old_sems.at[1]
-        ).start()
+        if emit_alpha:
+            pltpu.make_async_copy(
+                al_hbm.at[:, pl.ds(base // 128, SUBS), :], old_al,
+                old_sems.at[1],
+            ).start()
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    hf = n_val * (128 if packed else featp)
     # head_sel[f, h] = 1 where value lane f belongs to head h (static).
     # Packed planes are head-minor interleaved (lane = f·H + h, the
     # pltpu.repeat layout of the packed forward); non-packed planes are one
@@ -854,24 +991,56 @@ def _gat_bwd_kernel(
         for c in issue(k, slot):
             c.wait()
 
-        rel_all = rel_scr[slot]                           # [SUBS, 128]
+        rel_all = meta_scr[slot, 0]                       # [SUBS, 128]
+        snd_all = meta_scr[slot, 1]                       # [SUBS, 128]
         for sub in range(SUBS):
             start_e = base + k * chunk + sub * 128
             e_idx = lane + start_e
             valid = (e_idx >= p0) & (e_idx < p1)          # [1, 128]
-            onehot = (
-                (rows == rel_all[sub][None, :]) & valid
-            ).astype(jnp.float32)                         # [R, 128e]
-            # Row-layout stats for this sub's 128 edges.
-            mlb_rows = _mask_dot(
-                onehot, mlb_blk[:], (((0,), (0,)), ((), ())), exact_lhs=False
-            )                                             # [128mlb, 128e]
-            # Edge-major g[recv] rows (contract R the other way) so the
-            # per-edge ⟨g, v⟩ multiplies the value chunk in the layout it is
-            # DMA'd in — no feature-major transpose anywhere.
-            g_em = _mask_dot(
-                onehot, g_blk[:], (((0,), (0,)), ((), ())), exact_lhs=True
-            )                                             # [128e, hf]
+            relv = rel_all[sub][None, :]
+            onehot = ((rows == relv) & valid).astype(jnp.float32)  # [R,128e]
+            # Row-layout stats for this sub's 128 edges — pre-split parts
+            # recombined by static sublane slices (exact f32 adds).
+            if mlb_parts > 1:
+                mlb_raw = _exact_dot(
+                    onehot, mlb_blk[:], (((0,), (0,)), ((), ())),
+                    exact_lhs=False,
+                )                                         # [128, 128e]
+                mlb_rows = mlb_raw[0 : 3 * heads, :]
+                for p in range(1, mlb_parts):
+                    mlb_rows = mlb_rows + mlb_raw[
+                        3 * heads * p : 3 * heads * (p + 1), :
+                    ]
+            else:
+                mlb_rows = _mask_dot(
+                    onehot, mlb_blk[:], (((0,), (0,)), ((), ())),
+                    exact_lhs=False,
+                )
+            # Edge-major g[recv] rows: one exact pass per packed operand,
+            # parts within an operand recombined by lane rolls (live>128:
+            # no pre-split fits — in-kernel split as before).
+            if n_ops == 0:
+                g_em = _mask_dot(
+                    onehot, g_blk[:], (((0,), (0,)), ((), ())),
+                    exact_lhs=True,
+                )                                         # [128e, hf]
+            else:
+                g_em = None
+                for op in range(n_ops):
+                    raw = _exact_dot(
+                        onehot, g_blk[:, op * 128 : (op + 1) * 128],
+                        (((0,), (0,)), ((), ())), exact_lhs=True,
+                    )                                     # [128e, 128]
+                    acc_op = raw
+                    lo = op * per_op
+                    hi = min((op + 1) * per_op, n_parts)
+                    for j in range(1, hi - lo):
+                        acc_op = acc_op + pltpu.roll(
+                            raw, shift=128 - j * live, axis=1
+                        )
+                    g_em = acc_op if g_em is None else g_em + acc_op
+            # (lanes ≥ hf of g_em are garbage from the rolls — harmless,
+            # v_em is zero there so the dots product masks them.)
             if packed:
                 v_em = val_scr[slot, 0, pl.ds(sub * 128, 128), :]
             else:
@@ -888,28 +1057,40 @@ def _gat_bwd_kernel(
                 head_sel, g_em * v_em, (((0,), (1,)), ((), ())),
                 exact_lhs=True,
             )                                             # [H, 128e]
-            for h in range(heads):
-                le = logit_scr[slot, h][sub][None, :]     # [1, 128e]
-                m_r = mlb_rows[h][None, :]
-                l_r = mlb_rows[heads + h][None, :]
-                be = mlb_rows[2 * heads + h][None, :]
-                # l is pre-clamped ≥ 1e-30 on real rows; invalid lanes are
-                # masked before any inf can meet a 0.
-                alpha = jnp.where(valid, jnp.exp(le - m_r) / l_r, 0.0)
-                if use_dmask:
-                    # out = Σ D·α·v, so β = ⟨g, out⟩ already carries D;
-                    # dlogit = α (D·⟨g,v⟩ − β) and the CSC dWh pass needs
-                    # the dropped coefficients α·D.
-                    d_r = dmask_scr[slot, h][sub][None, :]
-                    al_scr[slot, h, pl.ds(sub, 1), :] = alpha * d_r
-                    dl_scr[slot, h, pl.ds(sub, 1), :] = (
-                        alpha * (d_r * dots[h][None, :] - be)
+            # All heads at once ([H, 128e] VPU ops — one exp for the whole
+            # sub-chunk instead of H sublane-starved [1, 128] passes).
+            le_all = logit_scr[slot][:, sub, :]           # [H, 128e]
+            m_all = mlb_rows[0:heads, :]
+            l_all = mlb_rows[heads : 2 * heads, :]
+            be_all = mlb_rows[2 * heads : 3 * heads, :]
+            # l is pre-clamped ≥ 1e-30 on real rows; invalid lanes are
+            # masked before any inf can meet a 0.
+            alpha = jnp.where(valid, jnp.exp(le_all - m_all) / l_all, 0.0)
+            if use_dmask or drop_keep24:
+                # out = Σ D·α·v, so β = ⟨g, out⟩ already carries D;
+                # dlogit = α (D·⟨g,v⟩ − β) and the CSC dWh pass needs
+                # the dropped coefficients α·D.
+                d_all = (
+                    _inkernel_drop_scale(
+                        snd_all[sub][None, :], relv + 128 * b, heads,
+                        seed_ref[0].astype(jnp.uint32), drop_keep24,
+                        inv_keep,
                     )
-                else:
-                    al_scr[slot, h, pl.ds(sub, 1), :] = alpha
-                    dl_scr[slot, h, pl.ds(sub, 1), :] = (
-                        alpha * (dots[h][None, :] - be)
+                    if drop_keep24 else dmask_scr[slot][:, sub, :]
+                )                                         # [H, 128e]
+                if emit_alpha:
+                    al_scr[slot, :, pl.ds(sub, 1), :] = (
+                        (alpha * d_all)[:, None, :]
                     )
+                dl_scr[slot, :, pl.ds(sub, 1), :] = (
+                    (alpha * (d_all * dots - be_all))[:, None, :]
+                )
+            else:
+                if emit_alpha:
+                    al_scr[slot, :, pl.ds(sub, 1), :] = alpha[:, None, :]
+                dl_scr[slot, :, pl.ds(sub, 1), :] = (
+                    (alpha * (dots - be_all))[:, None, :]
+                )
 
         # First chunk may overlap the predecessor block's range: keep its
         # rows for edges < p0 (ours are zero there), overwrite the rest.
@@ -919,31 +1100,35 @@ def _gat_bwd_kernel(
                 dl_hbm.at[:, pl.ds(base // 128, SUBS), :], old_dl,
                 old_sems.at[0],
             ).wait()
-            pltpu.make_async_copy(
-                al_hbm.at[:, pl.ds(base // 128, SUBS), :], old_al,
-                old_sems.at[1],
-            ).wait()
+            if emit_alpha:
+                pltpu.make_async_copy(
+                    al_hbm.at[:, pl.ds(base // 128, SUBS), :], old_al,
+                    old_sems.at[1],
+                ).wait()
             srow = jax.lax.broadcasted_iota(jnp.int32, (SUBS, 128), 0)
             slane = jax.lax.broadcasted_iota(jnp.int32, (SUBS, 128), 1)
             keep_old = (base + srow * 128 + slane < p0)[None]  # [1,SUBS,128]
             dl_scr[slot] = jnp.where(keep_old, old_dl[:], dl_scr[slot])
-            al_scr[slot] = jnp.where(keep_old, old_al[:], al_scr[slot])
+            if emit_alpha:
+                al_scr[slot] = jnp.where(keep_old, old_al[:], al_scr[slot])
 
         start = base + k * chunk
         wdl = pltpu.make_async_copy(
             dl_scr.at[slot], dl_hbm.at[:, pl.ds(start // 128, SUBS), :],
             out_sems.at[0],
         )
-        wal = pltpu.make_async_copy(
-            al_scr.at[slot], al_hbm.at[:, pl.ds(start // 128, SUBS), :],
-            out_sems.at[1],
-        )
         wdl.start()
-        wal.start()
+        if emit_alpha:
+            wal = pltpu.make_async_copy(
+                al_scr.at[slot], al_hbm.at[:, pl.ds(start // 128, SUBS), :],
+                out_sems.at[1],
+            )
+            wal.start()
         # Wait before the next chunk reuses this slot's scratch (and so the
         # successor block's overlap read observes our write).
         wdl.wait()
-        wal.wait()
+        if emit_alpha:
+            wal.wait()
         return 0
 
     jax.lax.fori_loop(jnp.int32(0), n_chunks, body, 0)
@@ -951,20 +1136,30 @@ def _gat_bwd_kernel(
 
 def _gat_bwd_call(
     csr: PallasCSR, logits3d, vals, dmask3d, g_blk, mlb_blk, heads, featp,
-    true_feat, packed, *, interpret,
+    true_feat, packed, *, interpret, drop=None, emit_alpha=True,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from graph_odenet_tpu.ops import dropmask as _dm
+
     nb = csr.n_blocks
     n_val = 1 if packed else heads
-    hf = g_blk.shape[1]
+    g_lanes = g_blk.shape[1]
     e_rows = csr.senders.shape[0] // 128
     use_dmask = dmask3d is not None
     if not use_dmask:
         dmask3d = jnp.zeros((heads, 1, 128), jnp.float32)
+    if drop is None:
+        seed_arr = jnp.zeros((1,), jnp.int32)
+        drop_keep24, inv_keep = 0, 1.0
+    else:
+        seed, rate = drop
+        seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32)[None]
+        drop_keep24, inv_keep = _dm.keep24(rate), 1.0 / (1.0 - rate)
+    meta = jnp.stack([csr.rel, csr.senders.reshape(-1, 128)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -972,7 +1167,8 @@ def _gat_bwd_call(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (BLOCK_ROWS, hf), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+                (BLOCK_ROWS, g_lanes), lambda b, *_: (b, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (BLOCK_ROWS, 128), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
@@ -986,18 +1182,22 @@ def _gat_bwd_call(
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
             pltpu.VMEM((2, n_val, E_CHUNK, 128 if packed else featp),
                        jnp.float32),
-            pltpu.VMEM((2, SUBS, 128), jnp.int32),
+            pltpu.VMEM((2, 2, SUBS, 128), jnp.int32),
             pltpu.VMEM(
                 (2, heads, SUBS, 128) if use_dmask else (2, 1, 1, 128),
                 jnp.float32,
             ),
             pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
-            pltpu.VMEM((2, heads, SUBS, 128), jnp.float32),
-            pltpu.VMEM((heads, SUBS, 128), jnp.float32),
-            pltpu.VMEM((heads, SUBS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(
-                (2, 1 + heads + n_val + (heads if use_dmask else 0))
+            pltpu.VMEM(
+                (2, heads, SUBS, 128) if emit_alpha else (2, 1, 1, 128),
+                jnp.float32,
             ),
+            pltpu.VMEM((heads, SUBS, 128), jnp.float32),
+            pltpu.VMEM(
+                (heads, SUBS, 128) if emit_alpha else (1, 1, 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((2, 2 + n_val + (1 if use_dmask else 0))),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -1005,69 +1205,107 @@ def _gat_bwd_call(
     return pl.pallas_call(
         partial(
             _gat_bwd_kernel, heads=heads, featp=featp, true_feat=true_feat,
-            packed=packed, use_dmask=use_dmask,
+            packed=packed, use_dmask=use_dmask, drop_keep24=drop_keep24,
+            inv_keep=inv_keep, emit_alpha=emit_alpha,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((heads, e_rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((heads, e_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (heads, e_rows, 128) if emit_alpha else (heads, 1, 128),
+                jnp.float32,
+            ),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(csr.blk_ptr, logits3d, vals, csr.rel, dmask3d, g_blk, mlb_blk)
+    )(csr.blk_ptr, seed_arr, logits3d, vals, meta, dmask3d, g_blk, mlb_blk)
 
 
 def _use_recompute(heads, feat, scores_ml, with_dropout=False):
-    """The recompute-α CSC path applies when the caller supplied the
-    decomposed score tables AND the gather table has lane room for them
-    (one extra receiver-id lane when the dropout mask is regenerated)."""
+    """The recompute-α CSC path applies whenever the caller supplied the
+    decomposed score tables and the value plane fits one 128-lane tile:
+    side values (s_dst/m/l + receiver id under dropout) ride spare lanes
+    of the same gather when there is room, or a second 128-lane gather
+    plane when H·F fills the tile (e.g. the H=1/F=128 shape — round-3
+    VERDICT #2's lane-oriented design)."""
+    del with_dropout  # the wide plane removes the lane-budget constraint
     return (
         scores_ml is not None
-        and heads * feat + 3 * heads + (1 if with_dropout else 0) <= 128
+        and heads * feat <= 128
         and os.environ.get("GODE_GAT_DWH", "auto").lower() != "permute"
     )
 
 
 def _dwh_csc_recompute(csr, g, heads, feat, scores_ml, dropout=None):
     """dWh via the recompute-α CSC kernel — NO [E, H] edge permute: s_dst,
-    m, l ride the g[recv] wide gather (spare lanes of the same table) and
-    s_src is sender-block-local (see pallas_spmm._segment_reduce_recompute).
+    m, l ride the g[recv] wide gather (spare lanes of the same table, or a
+    second 128-lane gather plane when H·F fills the tile) and s_src is
+    sender-block-local (see pallas_spmm._segment_reduce_recompute).
     Exact for the decomposed GAT scores ``LeakyReLU(s_src[s] + s_dst[r])``
     the reference's layers use (SURVEY.md §3.3).  ``dropout=(seed, rate)``
     additionally regenerates the counter-based attention-dropout scale
-    in-kernel (ops.dropmask) — the receiver id rides the table as one more
-    lane, so training with the reference's attn dropout keeps this path."""
+    in-kernel (ops.dropmask) — the receiver id rides as one more lane, so
+    training with the reference's attn dropout keeps this path."""
+    from graph_odenet_tpu.ops.pallas_spmm import _split3_spmm
+
     s_src, s_dst, m, l, slope = scores_ml
     hf = heads * feat
     n = csr.n_node_pad
     nb_rows = csr.n_blocks * BLOCK_ROWS
-    cols = [
-        g.reshape(g.shape[0], hf),
-        s_dst.astype(jnp.float32),
-        m,
-        l,
-    ]
-    extra = 0
+    extra = 1 if dropout is not None else 0
+    wide = hf + 3 * heads + extra > 128
+    # (Round-4 note: an interleaved-g + lane-roll-doubling α expansion was
+    # tried and measured SLOWER than the 3-pass MXU expand — cross-lane
+    # rotates of [128, 128] tiles go through the shuffle unit and cost
+    # more than the mantissa-split passes they replace.)
+    inter = False
+    g2d = g.reshape(g.shape[0], hf)
+
+    side_cols = [s_dst.astype(jnp.float32), m, l]
     if dropout is not None:
         # Receiver-id lane (f32-exact for N < 2^24): the in-kernel hash
         # keys on (sender, receiver, head) — ops.dropmask.
-        cols.append(
-            jnp.arange(g.shape[0], dtype=jnp.float32)[:, None]
+        side_cols.append(jnp.arange(g.shape[0], dtype=jnp.float32)[:, None])
+    if wide:
+        # Two 128-lane-row gathers: XLA's fast full-row gather form stops
+        # at 128 lanes (a 256-lane take measured 4.8× slower than two
+        # 128-lane takes at arxiv scale).
+        gtab = jnp.pad(g2d, ((0, 0), (0, 128 - hf)))
+        side_tab = jnp.pad(
+            jnp.concatenate(side_cols, axis=1),
+            ((0, 0), (0, 128 - 3 * heads - extra)),
         )
-        extra = 1
-    table = jnp.pad(
-        jnp.concatenate(cols, axis=1),
-        ((0, 0), (0, 128 - hf - 3 * heads - extra)),
-    )                                                            # [N, 128]
-    msgs = jnp.take(table, csr.t_receivers, axis=0)              # [E_pad, 128]
+        msgs = jnp.take(gtab, csr.t_receivers, axis=0)       # [E_pad, 128]
+        side = jnp.take(side_tab, csr.t_receivers, axis=0)   # [E_pad, 128]
+    else:
+        table = jnp.pad(
+            jnp.concatenate([g2d] + side_cols, axis=1),
+            ((0, 0), (0, 128 - hf - 3 * heads - extra)),
+        )                                                    # [N, 128]
+        msgs = jnp.take(table, csr.t_receivers, axis=0)      # [E_pad, 128]
+        side = None
+
+    # Pre-split s_src mantissa parts into lane groups [H·p, H·(p+1)) so the
+    # kernel's expansion is ONE exact bf16 pass instead of 3 split passes.
+    src_parts = _n_parts() if heads * _n_parts() <= 128 else 1
+    if src_parts > 1:
+        src_packed = jnp.concatenate(
+            _split3_spmm(s_src.astype(jnp.float32), src_parts), axis=1
+        )                                                    # [N, H·P]
+    else:
+        src_packed = s_src.astype(jnp.float32)
     src_blk = jnp.pad(
-        s_src.astype(jnp.float32),
-        ((0, nb_rows - s_src.shape[0]), (0, 128 - heads)),
+        src_packed,
+        ((0, nb_rows - src_packed.shape[0]),
+         (0, 128 - src_packed.shape[1])),
     )
     out = _segment_reduce_recompute(
         msgs, src_blk, csr.t_rel, csr.t_blk_ptr, csr.n_blocks,
-        heads, feat, slope, dropout=dropout, interpret=not _is_tpu(),
+        heads, feat, slope, dropout=dropout, side=side,
+        src_parts=src_parts, interleaved=inter, interpret=not _is_tpu(),
     )
+    if inter:
+        return _unpack_interleaved(out[:n, :hf], heads, feat)
     return out[:n, :hf].reshape(n, heads, feat)
 
 
@@ -1111,8 +1349,13 @@ def _bwd_fused(csr, res, g, dmask=None, scores=None, drop=None):
     reduction: recompute-α kernel when the decomposed score tables are
     available (``scores=(s_src, s_dst, slope)``; with ``drop=(seed, rate)``
     the counter-based dropout is regenerated in-kernel so the fast path
-    covers training too), else the weighted reduce over the permuted α."""
-    logits, wh, out, m, l = res
+    covers training too), else the weighted reduce over the permuted α.
+
+    ``res`` carries the forward's own kernel input layouts (logits3d,
+    vals) so the backward pays no _to3d relayout and no sender re-gather;
+    g/mlb are mantissa-pre-split XLA-side (``_split3``) so the kernel's
+    one-hot contractions run at one exact bf16 pass per operand."""
+    logits, wh, out, m, l, logits3d, vals = res
     e_orig = logits.shape[0]
     e_pad = csr.senders.shape[0]
     heads, feat = wh.shape[-2], wh.shape[-1]
@@ -1122,43 +1365,59 @@ def _bwd_fused(csr, res, g, dmask=None, scores=None, drop=None):
     nb_rows = csr.n_blocks * BLOCK_ROWS
     g = g.astype(jnp.float32)
 
-    logits3d = _to3d(logits, e_pad)
-    dmask3d = None if dmask is None else _to3d(dmask, e_pad)
-    # Recompute the sender gather (same op the XLA path pays), in the same
-    # edge-major layout the forward streams — the kernel's dot is edge-major.
-    vals = _vals_edge_major(csr, wh, packed, featp)
+    # Explicit [E, H] mask mode (test injection) streams the mask plane;
+    # training dropout (``drop``) is regenerated in-kernel instead.
+    dmask3d = (
+        None if (dmask is None or drop is not None) else _to3d(dmask, e_pad)
+    )
 
     def pad_rows(a):
         return jnp.pad(a, ((0, nb_rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
 
     if packed:
         # Interleaved lanes (f·H + h) — must match the vals plane layout.
-        g_blk = pad_rows(
-            jnp.pad(_pack_interleaved(g), ((0, 0), (0, 128 - heads * feat)))
-        )
+        g2d = _pack_interleaved(g)
+        live = heads * feat
     else:
-        g_blk = pad_rows(
-            jnp.pad(g, ((0, 0), (0, 0), (0, featp - feat))).reshape(
-                n, heads * featp
-            )
+        g2d = jnp.pad(g, ((0, 0), (0, 0), (0, featp - feat))).reshape(
+            n, heads * featp
         )
+        live = heads * featp
+    n_parts, per_op, n_ops = _g_packing(live)
+    if n_ops == 0:
+        # Multi-tile plane (live > 128): unsplit, in-kernel _mask_dot.
+        g_blk = pad_rows(g2d)
+    else:
+        g_parts = _split3(g2d, n_parts)
+        ops = []
+        for k in range(n_ops):
+            chunk = g_parts[k * per_op : (k + 1) * per_op]
+            opk = jnp.concatenate(chunk, axis=1)
+            ops.append(jnp.pad(opk, ((0, 0), (0, 128 - opk.shape[1]))))
+        g_blk = pad_rows(jnp.concatenate(ops, axis=1))  # [nb_rows, n_ops·128]
+
     beta = jnp.sum(g * out.astype(jnp.float32), axis=-1)         # [N_pad, H]
+    mlb = jnp.concatenate([m, l, beta], axis=1)                  # [N_pad, 3H]
+    mlb_parts = _n_parts() if 3 * heads * _n_parts() <= 128 else 1
+    if mlb_parts > 1:
+        mlb = jnp.concatenate(_split3(mlb, mlb_parts), axis=1)
     mlb_blk = pad_rows(
-        jnp.concatenate(
-            [m, l, beta, jnp.zeros((n, 128 - 3 * heads), jnp.float32)], axis=1
-        )
+        jnp.pad(mlb, ((0, 0), (0, 128 - mlb.shape[1])))
     )
 
-    dl3, al3 = _gat_bwd_call(
-        csr, logits3d, vals, dmask3d, g_blk, mlb_blk, heads, featp, feat,
-        packed, interpret=not _is_tpu(),
-    )
-    dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
     scores_ml = (
         None if (scores is None or (dmask is not None and drop is None))
         else (scores[0], scores[1], m, l, scores[2])
     )
-    if _use_recompute(heads, feat, scores_ml, with_dropout=drop is not None):
+    use_rec = _use_recompute(
+        heads, feat, scores_ml, with_dropout=drop is not None
+    )
+    dl3, al3 = _gat_bwd_call(
+        csr, logits3d, vals, dmask3d, g_blk, mlb_blk, heads, featp, feat,
+        packed, interpret=not _is_tpu(), drop=drop, emit_alpha=not use_rec,
+    )
+    dlogits = dl3.reshape(heads, e_pad).T[:e_orig]
+    if use_rec:
         dwh = _dwh_csc_recompute(csr, g, heads, feat, scores_ml, dropout=drop)
     else:
         alpha = al3.reshape(heads, e_pad).T         # [E_pad, H] (α·D if drop)
@@ -1167,19 +1426,28 @@ def _bwd_fused(csr, res, g, dmask=None, scores=None, drop=None):
 
 
 def _gat_fwd(csr, logits, wh):
-    out, m, l = _fwd_impl(csr, logits, wh)
-    return out, (logits, wh, out, m, l)
+    out, m, l, logits3d, vals = _fwd_impl(csr, logits, wh)
+    return out, (logits, wh, out, m, l, logits3d, vals)
 
 
 def _bwd_xla(csr, res, g, dmask=None, scores=None, drop=None):
     """Gather-based backward fallback: α from the saved softmax statistics
     and the per-edge dots via [E, H·F] XLA gathers — the costs the fused
     kernel's one-hot MXU contractions avoid."""
-    logits, wh, out, m, l = res
+    logits, wh, out, m, l, _logits3d, _vals = res
     e_orig = logits.shape[0]
     e_pad = csr.senders.shape[0]
     heads, feat = wh.shape[-2], wh.shape[-1]
     g = g.astype(jnp.float32)
+    if dmask is None and drop is not None:
+        # The fused path regenerates the mask in-kernel; this fallback
+        # needs it materialised.
+        from graph_odenet_tpu.ops import dropmask as _dm
+
+        seed, rate = drop
+        dmask = _dm.attention_dropout_scale(
+            seed, csr.senders, csr.receivers, heads, rate
+        )
     emask = csr.edge_mask()[:, None]                             # [E_pad, 1]
     logits_p = jnp.pad(
         logits.astype(jnp.float32), ((0, e_pad - e_orig), (0, 0))
@@ -1243,13 +1511,13 @@ def gat_aggregate_pallas_scores(
     through ``logits``/``wh``; the hint tensors get zero cotangents (their
     gradient arrives through ``logits`` via ``edge_scores``'s own vjp).
     """
-    out, _, _ = _fwd_impl(csr, logits, wh)
+    out, *_ = _fwd_impl(csr, logits, wh)
     return out
 
 
 def _gat_scores_fwd(csr, slope, logits, wh, s_src, s_dst):
-    out, m, l = _fwd_impl(csr, logits, wh)
-    return out, (logits, wh, out, m, l, s_src, s_dst)
+    out, m, l, logits3d, vals = _fwd_impl(csr, logits, wh)
+    return out, (logits, wh, out, m, l, logits3d, vals, s_src, s_dst)
 
 
 def _gat_scores_bwd(csr, slope, res, g):
@@ -1263,8 +1531,8 @@ gat_aggregate_pallas_scores.defvjp(_gat_scores_fwd, _gat_scores_bwd)
 
 
 def _gat_drop_fwd(csr, logits, wh, dmask):
-    out, m, l = _fwd_impl(csr, logits, wh, dmask)
-    return out, (logits, wh, out, m, l, dmask)
+    out, m, l, logits3d, vals = _fwd_impl(csr, logits, wh, dmask)
+    return out, (logits, wh, out, m, l, logits3d, vals, dmask)
 
 
 def _gat_drop_bwd(csr, res, g):
@@ -1296,40 +1564,27 @@ def gat_aggregate_pallas_scores_dropout(
 
     ``seed``: traced u32 scalar (``dropmask.seed_from_key(rng)``).
     """
-    from graph_odenet_tpu.ops import dropmask as _dm
-
-    heads = logits.shape[1]
-    dmask = _dm.attention_dropout_scale(
-        seed, csr.senders, csr.receivers, heads, rate
-    )
-    out, _, _ = _fwd_impl(csr, logits, wh, dmask)
+    out, *_ = _fwd_impl(csr, logits, wh, drop=(seed, rate))
     return out
 
 
 def _gat_sd_fwd(csr, slope, rate, logits, wh, s_src, s_dst, seed):
-    from graph_odenet_tpu.ops import dropmask as _dm
-
-    heads = logits.shape[1]
-    dmask = _dm.attention_dropout_scale(
-        seed, csr.senders, csr.receivers, heads, rate
-    )
-    out, m, l = _fwd_impl(csr, logits, wh, dmask)
-    return out, (logits, wh, out, m, l, s_src, s_dst, seed)
+    # The forward kernel regenerates the counter mask in-kernel too — no
+    # [E, H] mask materialisation, no _to3d relayout, no mask DMA plane.
+    out, m, l, logits3d, vals = _fwd_impl(csr, logits, wh, drop=(seed, rate))
+    return out, (logits, wh, out, m, l, logits3d, vals, s_src, s_dst, seed)
 
 
 def _gat_sd_bwd(csr, slope, rate, res, g):
     import numpy as np
 
-    from graph_odenet_tpu.ops import dropmask as _dm
-
-    logits, wh, out, m, l, s_src, s_dst, seed = res
-    heads = logits.shape[1]
-    dmask = _dm.attention_dropout_scale(
-        seed, csr.senders, csr.receivers, heads, rate
-    )
+    *res7, s_src, s_dst, seed = res
+    # No XLA-side mask here: the fused dlogits kernel AND the recompute dWh
+    # kernel both regenerate the counter-based mask from the seed in-kernel
+    # (the _bwd_xla fallback materialises it itself from ``drop``).
     fn = _bwd_fused if _use_fused() else _bwd_xla
     dlogits, dwh = fn(
-        csr, (logits, wh, out, m, l), g, dmask,
+        csr, tuple(res7), g, None,
         scores=(s_src, s_dst, slope), drop=(seed, rate),
     )
     zero_seed = np.zeros(seed.shape, jax.dtypes.float0)

@@ -731,19 +731,32 @@ def _segment_reduce_recompute_kernel(
     seed_ref,           # scalar prefetch: i32[1] dropout seed (unused if off)
     msgs_hbm,           # ANY/HBM [E_pad, 128]: lanes [g(hf) | s_dst(H) |
                         #   m(H) | l(H) | rid(1)? | pad] gathered by CSC recv
+                        #   (wide mode: g fills all 128 lanes, side values
+                        #   arrive on the separate side plane)
+    side_hbm,           # ANY/HBM [E_pad, 128] side plane, lanes [s_dst(H) |
+                        #   m(H) | l(H) | rid(1)?] — dummy [1, 128] if !wide
     rel_hbm,            # i32 ANY/HBM [E_pad/128, 128] sender − 128·block
     src_blk,            # VMEM [BLOCK_ROWS, 128] s_src rows of this sender
-                        #   block (lanes 0..H−1 live)
+                        #   block — ``src_parts`` mantissa parts at lane
+                        #   groups [H·p, H·(p+1)) (1 part: lanes 0..H−1)
     out_ref,            # VMEM [BLOCK_ROWS, 128]
     msg_scratch,        # VMEM [2, E_CHUNK, 128]
+    side_scratch,       # VMEM [2, E_CHUNK, 128] (or [2, 1, 128] if !wide)
     rel_scratch,        # VMEM [2, SUBS, 128]
-    sems,               # DMA sems [2, 2]
+    sems,               # DMA sems [2, 3]
     *,
     heads: int,
     feat: int,
     slope: float,       # LeakyReLU negative slope of the edge scores
     drop_keep24: int = 0,   # >0: regenerate attention dropout in-kernel
     inv_keep: float = 1.0,  # 1/(1-rate)
+    wide: bool = False,     # H·F fills the whole g plane (e.g. H=1 F=128):
+                            #   side values ride a second 128-lane gather
+                            #   plane instead of spare lanes
+    src_parts: int = 1,     # mantissa parts pre-split into src_blk lanes
+    interleaved: bool = False,  # g lanes are f·H+h (power-of-two H): the α
+                            #   expansion becomes log2(128/H) VPU lane-roll
+                            #   doublings instead of 3 MXU split passes
 ):
     """dWh CSC reduction with α *recomputed in-kernel* from node tables.
 
@@ -776,7 +789,7 @@ def _segment_reduce_recompute_kernel(
 
     def issue(k, slot):
         start = base + k * chunk
-        return [
+        copies = [
             pltpu.make_async_copy(
                 msgs_hbm.at[pl.ds(start, E_CHUNK), :],
                 msg_scratch.at[slot],
@@ -788,6 +801,15 @@ def _segment_reduce_recompute_kernel(
                 sems.at[slot, 1],
             ),
         ]
+        if wide:
+            copies.append(
+                pltpu.make_async_copy(
+                    side_hbm.at[pl.ds(start, E_CHUNK), :],
+                    side_scratch.at[slot],
+                    sems.at[slot, 2],
+                )
+            )
+        return copies
 
     @pl.when(n_chunks > 0)
     def _():
@@ -821,18 +843,40 @@ def _segment_reduce_recompute_kernel(
             valid = (e_idx >= p0) & (e_idx < p1)               # [1, 128]
             oh = (rows == rel[sub][None, :]) & valid           # [R, 128e]
             m_sub = msg_scratch[slot, pl.ds(sub * 128, 128), :]  # [128e, 128]
-            # s_src expanded onto edge rows: one one-hot contraction
-            # (lanes 0..H−1 live; invalid edges → 0 rows).
-            src_em = _mask_dot_spmm(
-                oh, src_blk[:], (((0,), (0,)), ((), ()))
-            )                                                   # [128e, 128]
-            # s_dst / m / l extracted from the gather tile by lane rolls
-            # (VPU-cheap; garbage beyond lane H is masked below).
-            dst_em = pltpu.roll(m_sub, shift=(128 - hf) % 128, axis=1)
-            m_em = pltpu.roll(m_sub, shift=(128 - hf - heads) % 128, axis=1)
-            l_em = pltpu.roll(
-                m_sub, shift=(128 - hf - 2 * heads) % 128, axis=1
-            )
+            # s_src expanded onto edge rows: pre-split parts → ONE exact
+            # bf16 one-hot contraction + lane-roll recombines (vs 3 split
+            # passes); lanes 0..H−1 live, invalid edges → 0 rows.
+            if src_parts > 1:
+                raw = _exact_dot_spmm(
+                    oh, src_blk[:], (((0,), (0,)), ((), ()))
+                )                                               # [128e, 128]
+                src_em = raw
+                for p in range(1, src_parts):
+                    src_em = src_em + pltpu.roll(
+                        raw, shift=128 - p * heads, axis=1
+                    )
+            else:
+                src_em = _mask_dot_spmm(
+                    oh, src_blk[:], (((0,), (0,)), ((), ()))
+                )                                               # [128e, 128]
+            # s_dst / m / l extracted by lane rolls (VPU-cheap; garbage
+            # beyond lane H is masked below) — from the gather tile's spare
+            # lanes, or from the dedicated side plane in wide mode.
+            if wide:
+                side = side_scratch[slot, pl.ds(sub * 128, 128), :]
+                dst_em = side
+                m_em = pltpu.roll(side, shift=(128 - heads) % 128, axis=1)
+                l_em = pltpu.roll(
+                    side, shift=(128 - 2 * heads) % 128, axis=1
+                )
+            else:
+                dst_em = pltpu.roll(m_sub, shift=(128 - hf) % 128, axis=1)
+                m_em = pltpu.roll(
+                    m_sub, shift=(128 - hf - heads) % 128, axis=1
+                )
+                l_em = pltpu.roll(
+                    m_sub, shift=(128 - hf - 2 * heads) % 128, axis=1
+                )
             logit = src_em + dst_em
             logit = jnp.where(logit >= 0.0, logit, slope * logit)
             expo = jnp.minimum(logit - m_em, 0.0)   # exact: logit ≤ m[r]
@@ -855,9 +899,14 @@ def _segment_reduce_recompute_kernel(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + jnp.float32(BLOCK_ROWS) * b.astype(jnp.float32)  # [128e,1]
-                rid = pltpu.roll(
-                    m_sub, shift=(128 - hf - 3 * heads) % 128, axis=1
-                )[:, :1]                                          # [128e, 1]
+                if wide:
+                    rid = pltpu.roll(
+                        side, shift=(128 - 3 * heads) % 128, axis=1
+                    )[:, :1]                                      # [128e, 1]
+                else:
+                    rid = pltpu.roll(
+                        m_sub, shift=(128 - hf - 3 * heads) % 128, axis=1
+                    )[:, :1]                                      # [128e, 1]
                 # Mosaic has no f32→u32 cast: go f32→i32 (indices are
                 # non-negative, exact) then bitcast to u32.
                 as_u32 = lambda v: jax.lax.bitcast_convert_type(
@@ -883,9 +932,25 @@ def _segment_reduce_recompute_kernel(
             # ≥ H of expand128 are zero, so garbage α lanes never reach the
             # messages; lanes ≥ hf of the scale are zero, so the table's
             # s_dst/m/l lanes drop out of the reduction automatically.
-            scale = _mask_dot_spmm(
-                expand128, alpha, (((1,), (0,)), ((), ())), exact_lhs=False,
-            )                                                   # [128e, 128]
+            # Single head: plain lane broadcast; power-of-two H with the
+            # interleaved g layout: roll-doubling replication (VPU-only,
+            # exact — α lanes ≥ H are zero so each step adds onto zeros).
+            # Either way the expand's MXU passes vanish.  Lanes ≥ hf of
+            # the output then carry α-weighted side-lane sums, which is
+            # fine: the caller slices ``out[:, :hf]``.
+            if heads == 1:
+                scale = jnp.broadcast_to(alpha[:, :1], (128, 128))
+            elif interleaved:
+                scale = alpha
+                w = heads
+                while w < 128:
+                    scale = scale + pltpu.roll(scale, shift=w, axis=1)
+                    w *= 2
+            else:
+                scale = _mask_dot_spmm(
+                    expand128, alpha, (((1,), (0,)), ((), ())),
+                    exact_lhs=False,
+                )                                               # [128e, 128]
             acc = acc + _reduce_dot_spmm(oh, m_sub * scale)
         return acc
 
@@ -919,6 +984,35 @@ def _reduce_dot_spmm(mask, m):
         oh, m, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _split3_spmm(x, n_parts=3):
+    """Mantissa-split an f32 array into bf16-representable f32 parts (each
+    part casts to bf16 losslessly) — lets a kernel matmul pre-split node
+    tables in ONE exact bf16 MXU pass instead of splitting in-kernel."""
+    parts = []
+    rest = x
+    for _ in range(n_parts - 1):
+        hi = rest.astype(jnp.bfloat16).astype(jnp.float32)
+        parts.append(hi)
+        rest = rest - hi
+    parts.append(rest.astype(jnp.bfloat16).astype(jnp.float32))
+    return parts
+
+
+def _exact_dot_spmm(exact01, presplit, dn, *, exact_lhs=True):
+    """One-pass matmul of a 0/1 mask against bf16-representable f32 values
+    (see ``_split3_spmm``): both casts are lossless, so a single bf16 MXU
+    pass is f32-exact."""
+    a = (
+        jnp.where(exact01, 1.0, 0.0).astype(jnp.bfloat16)
+        if exact01.dtype == jnp.bool_ else exact01.astype(jnp.bfloat16)
+    )
+    b = presplit.astype(jnp.bfloat16)
+    x, y = (a, b) if exact_lhs else (b, a)
+    return jax.lax.dot_general(
+        x, y, dimension_numbers=dn, preferred_element_type=jnp.float32
     )
 
 
@@ -956,14 +1050,21 @@ def _mask_dot_spmm(exact, other, dn, *, exact_lhs=True):
 
 def _segment_reduce_recompute(
     msgs, src_blk, rel, blk_ptr, n_blocks, heads, feat, slope,
-    *, dropout=None, interpret=False,
+    *, dropout=None, side=None, src_parts=1, interleaved=False,
+    interpret=False,
 ):
     """CSC dWh reduction with in-kernel α recompute from node tables —
     no [E, H] edge-order permute anywhere (see the kernel docstring).
 
     ``msgs``:    [E_pad, 128] gathered table rows (g | s_dst | m | l | pad,
-                 plus a receiver-id lane when ``dropout`` is given).
-    ``src_blk``: [n_blocks·BLOCK_ROWS, 128] s_src rows (lanes 0..H−1 live).
+                 plus a receiver-id lane when ``dropout`` is given; when
+                 ``side`` is passed, all 128 lanes are g).
+    ``side``:    optional [E_pad, 128] second gather plane holding
+                 [s_dst | m | l | rid?] for shapes where H·F fills the g
+                 plane (two 128-lane-row gathers are ~5× cheaper than one
+                 256-lane gather — XLA's fast gather form stops at 128).
+    ``src_blk``: [n_blocks·BLOCK_ROWS, 128] s_src rows — ``src_parts``
+                 mantissa parts at lane groups [H·p, H·(p+1)).
     ``dropout``: optional ``(seed, rate)`` — seed a traced u32/i32 scalar,
                  rate a static float; the kernel regenerates the
                  counter-based attention-dropout scale (ops.dropmask).
@@ -991,10 +1092,14 @@ def _segment_reduce_recompute(
         seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32)[None]
         drop_keep24, inv_keep = _dm.keep24(rate), 1.0 / (1.0 - rate)
 
+    wide = side is not None
+    if not wide:
+        side = jnp.zeros((1, 128), msgs.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
@@ -1007,8 +1112,10 @@ def _segment_reduce_recompute(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, E_CHUNK, 128), msgs.dtype),
+            pltpu.VMEM((2, E_CHUNK, 128) if wide else (2, 1, 128),
+                       msgs.dtype),
             pltpu.VMEM((2, SUBS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     return pl.pallas_call(
@@ -1016,13 +1123,14 @@ def _segment_reduce_recompute(
             _segment_reduce_recompute_kernel,
             heads=heads, feat=feat, slope=slope,
             drop_keep24=drop_keep24, inv_keep=inv_keep,
+            wide=wide, src_parts=src_parts, interleaved=interleaved,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_blocks * BLOCK_ROWS, 128), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(blk_ptr, seed_arr, msgs, rel, src_blk)
+    )(blk_ptr, seed_arr, msgs, side, rel, src_blk)
 
 
 def _is_tpu() -> bool:

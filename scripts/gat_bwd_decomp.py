@@ -1,7 +1,6 @@
 """Decompose the fused GAT fwd+bwd time into its phases (round-3 VERDICT
-weak #1 / next #2): forward kernel, dlogits Pallas pass, dWh CSC pass, and
-the XLA glue between them — the same roofline-style bisection that drove
-the SpMM wins.
+weak #1 / next #2): forward, full backward, and the dWh CSC pass — the
+same roofline-style bisection that drove the SpMM wins.
 
 Usage: python scripts/gat_bwd_decomp.py [heads feat [dropout]]
 Writes one JSON line per phase; run on the TPU.
@@ -87,133 +86,42 @@ def main():
         )
 
     t_fwd = timeit("fwd only", jax.jit(fwd_only), logits, wh)
-
-    # --- forward internals ---
-    dmask = dm.attention_dropout_scale(seed, csr.senders, csr.receivers,
-                                       HEADS, DROP)
-    t_fwdimpl = timeit(
-        "fwd _fwd_impl (kernel + glue)",
-        jax.jit(lambda lg, w: pg._fwd_impl(csr, lg, w, dmask)[0]), logits, wh,
-    )
     t_vals = timeit(
         "glue _vals_edge_major (sender gather)",
         jax.jit(lambda w: pg._vals_edge_major(csr, w, packed, featp)), wh,
     )
-    t_to3d = timeit(
-        "glue _to3d(logits)+_to3d(dmask)",
-        jax.jit(lambda lg: (pg._to3d(lg, e_pad), pg._to3d(dmask, e_pad))),
-        logits,
-    )
 
-    # --- backward internals ---
-    out, m, l = jax.jit(
-        lambda lg, w: pg._fwd_impl(csr, lg, w, dmask)
+    # --- backward pieces ---
+    drop = None if DROP == 0.0 else (seed, DROP)
+    res = jax.jit(
+        lambda lg, w: pg._fwd_impl(csr, lg, w, drop=drop)
     )(logits, wh)
-    res5 = (logits, wh, out, m, l)
+    out, m, l, logits3d, vals = res
+    res7 = (logits, wh, out, m, l, logits3d, vals)
 
-    t_bwdfull = timeit(
+    t_bwd = timeit(
         "bwd _bwd_fused total",
         jax.jit(lambda gc: pg._bwd_fused(
-            csr, res5, gc, dmask, scores=(s_src, s_dst, 0.2),
-            drop=(seed, DROP),
+            csr, res7, gc, None, scores=(s_src, s_dst, 0.2), drop=drop,
         )), gcot,
     )
 
-    # dlogits pallas pass alone (incl. its glue: to3d, vals, pads, beta).
-    def dl_pass(gc):
-        logits3d = pg._to3d(logits, e_pad)
-        dmask3d = pg._to3d(dmask, e_pad)
-        vals = pg._vals_edge_major(csr, wh, packed, featp)
-        gf = gc.astype(jnp.float32)
-        n = csr.n_node_pad
-        nb_rows = csr.n_blocks * 128
-
-        def pad_rows(a):
-            return jnp.pad(a, ((0, nb_rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
-
-        if packed:
-            g_blk = pad_rows(jnp.pad(
-                pg._pack_interleaved(gf), ((0, 0), (0, 128 - HEADS * FEAT))
-            ))
-        else:
-            g_blk = pad_rows(jnp.pad(
-                gf, ((0, 0), (0, 0), (0, featp - FEAT))
-            ).reshape(n, HEADS * featp))
-        beta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)
-        mlb_blk = pad_rows(jnp.concatenate(
-            [m, l, beta, jnp.zeros((n, 128 - 3 * HEADS), jnp.float32)], axis=1
-        ))
-        dl3, al3 = pg._gat_bwd_call(
-            csr, logits3d, vals, dmask3d, g_blk, mlb_blk, HEADS, featp,
-            FEAT, packed, interpret=False,
-        )
-        return dl3, al3
-
-    t_dl = timeit("bwd dlogits pass (kernel + its glue)", jax.jit(dl_pass), gcot)
-
-    # dlogits kernel glue alone (everything except the pallas_call).
-    def dl_glue(gc):
-        logits3d = pg._to3d(logits, e_pad)
-        dmask3d = pg._to3d(dmask, e_pad)
-        vals = pg._vals_edge_major(csr, wh, packed, featp)
-        gf = gc.astype(jnp.float32)
-        n = csr.n_node_pad
-        nb_rows = csr.n_blocks * 128
-
-        def pad_rows(a):
-            return jnp.pad(a, ((0, nb_rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
-
-        if packed:
-            g_blk = pad_rows(jnp.pad(
-                pg._pack_interleaved(gf), ((0, 0), (0, 128 - HEADS * FEAT))
-            ))
-        else:
-            g_blk = pad_rows(jnp.pad(
-                gf, ((0, 0), (0, 0), (0, featp - FEAT))
-            ).reshape(n, HEADS * featp))
-        beta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)
-        mlb_blk = pad_rows(jnp.concatenate(
-            [m, l, beta, jnp.zeros((n, 128 - 3 * HEADS), jnp.float32)], axis=1
-        ))
-        return logits3d, dmask3d, vals, g_blk, mlb_blk
-
-    t_dlglue = timeit("bwd dlogits glue only", jax.jit(dl_glue), gcot)
-
-    # dWh pass.
     scores_ml = (s_src, s_dst, m, l, 0.2)
-    if pg._use_recompute(HEADS, FEAT, scores_ml, with_dropout=True):
+    if pg._use_recompute(HEADS, FEAT, scores_ml, with_dropout=drop is not None):
         t_dwh = timeit(
             "bwd dWh recompute pass",
             jax.jit(lambda gc: pg._dwh_csc_recompute(
-                csr, gc, HEADS, FEAT, scores_ml, dropout=(seed, DROP),
+                csr, gc, HEADS, FEAT, scores_ml, dropout=drop,
             )), gcot,
         )
     else:
-        dl3, al3 = jax.jit(dl_pass)(gcot)
-        alpha = al3.reshape(HEADS, e_pad).T
-        t_dwh = timeit(
-            "bwd dWh permute+weighted-reduce pass",
-            jax.jit(lambda a, gc: pg._dwh_csc(csr, a, gc, HEADS, FEAT)),
-            alpha, gcot,
-        )
-        t_perm = timeit(
-            "bwd alpha [E,H] permute alone",
-            jax.jit(lambda a: jnp.take(a, csr.t_perm, axis=0)), alpha,
-        )
-
-    # The [H, E] -> [E, H] dlogits transpose at the end of _bwd_fused.
-    dl3, al3 = jax.jit(dl_pass)(gcot)
-    t_tr = timeit(
-        "bwd dl3 [H,E]->[E,H] transpose",
-        jax.jit(lambda d: d.reshape(HEADS, e_pad).T[: logits.shape[0]]), dl3,
-    )
+        t_dwh = float("nan")
 
     print(json.dumps(dict(
         phase="summary",
         total_ms=round(t_full, 2), fwd_ms=round(t_fwd, 2),
-        bwd_ms=round(t_full - t_fwd, 2),
-        dlogits_pass_ms=round(t_dl, 2), dlogits_glue_ms=round(t_dlglue, 2),
-        dwh_ms=round(t_dwh, 2), transpose_ms=round(t_tr, 2),
+        bwd_ms=round(t_full - t_fwd, 2), bwd_alone_ms=round(t_bwd, 2),
+        dwh_ms=round(t_dwh, 2), vals_gather_ms=round(t_vals, 2),
         edges_per_s=round(g.n_edge / (t_full / 1e3)),
     )), flush=True)
 

@@ -245,8 +245,9 @@ def make_scores_case(seed=0, n=300, p=0.03, heads=8, feat=8, slope=0.2):
 
 @pytest.mark.parametrize(
     "heads,feat",
-    [(8, 8), (4, 16), (1, 64),    # recompute path (H·F + 3H ≤ 128)
-     (1, 128), (2, 96)],          # no lane room → permuted-α fallback
+    [(8, 8), (4, 16), (1, 64),    # recompute path, side lanes in-table
+     (1, 128),                    # recompute path, wide two-plane side
+     (2, 96)],                    # H·F > 128 → permuted-α fallback
 )
 def test_scores_hint_grads_match_reference(heads, feat):
     """gat_aggregate_pallas_scores (recompute-α backward) == segment path."""
@@ -434,7 +435,7 @@ def test_scores_dropout_fwd_matches_injected_mask(heads, feat):
                                rtol=2e-5)
 
 
-@pytest.mark.parametrize("heads,feat", [(8, 8), (2, 16)])
+@pytest.mark.parametrize("heads,feat", [(8, 8), (2, 16), (1, 128)])
 def test_scores_dropout_grads_match_permute_path(heads, feat):
     """dWh via the in-kernel mask-regenerating recompute path must match the
     α·D-permute weighted path given the identical counter mask."""
@@ -472,9 +473,10 @@ def test_scores_dropout_grads_match_permute_path(heads, feat):
         )
 
 
-def test_scores_dropout_lane_squeeze_falls_back():
-    """H=1/F=125 (125+3+1=129 > 128 lanes) must fall back to the permute
-    path and still produce correct gradients."""
+def test_scores_dropout_lane_squeeze_uses_wide_plane():
+    """H=1/F=125 (125+3+1=129 > 128 lanes) takes the two-plane wide
+    recompute path (round-4: side values on a second 128-lane gather) and
+    must match the explicit-mask op's gradients."""
     from graph_odenet_tpu.ops.dropmask import attention_dropout_scale
     from graph_odenet_tpu.ops.pallas_gat import (
         _use_recompute,
@@ -484,7 +486,9 @@ def test_scores_dropout_lane_squeeze_falls_back():
     from graph_odenet_tpu.ops.sddmm import edge_scores
 
     heads, feat = 1, 125
-    assert not _use_recompute(heads, feat, object(), with_dropout=True)
+    # The wide side plane removed the lane-budget fallback (round-3 the
+    # assert here pinned the opposite).
+    assert _use_recompute(heads, feat, object(), with_dropout=True)
     g, csr, _, wh = make_case(seed=9, heads=heads, feat=feat)
     rng = np.random.default_rng(10)
     s_src = jnp.asarray(rng.standard_normal((g.n_node_pad, heads)), jnp.float32)
