@@ -110,6 +110,13 @@ class ODEBlock(nn.Module):
                 steps_per_interval=self.steps,
                 max_steps_per_interval=self.steps,
             )
+            # The adjoint solve doesn't surface solver stats (its custom
+            # vjp hides the forward integration); sow a sentinel so
+            # consumers of "ode_stats" see a uniform structure.
+            self.sow(
+                "intermediates", "ode_stats",
+                {"nfe": jnp.asarray(-1, jnp.int32)},
+            )
         else:
             ys, stats = odeint(
                 f, h, ts, params,

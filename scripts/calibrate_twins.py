@@ -21,7 +21,10 @@ Usage:
 """
 
 import itertools
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

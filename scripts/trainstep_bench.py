@@ -25,23 +25,34 @@ from graph_odenet_tpu.bench import ode_model_bench
 
 OUT = "artifacts/trainstep_solvers.jsonl"
 
-ARXIV = dict(n_nodes=169_343, deg=17)  # ~2.88M edges after sym+loops
+ARXIV = dict(n_nodes=169_343, deg=8)  # E≈2.88M after sym+loops (the
+                                      # round-3 train-step rows' shape)
 CORA = dict(n_nodes=2_708, deg=4)
 
 CELLS = [
     # --- VERDICT #4: config-2 real shape (steps=32), remat vs adjoint ---
     dict(model="gcnode", scale="arxiv", mode="fwd", method="dopri5",
          steps=32),
+    # steps=32 + remat OOMs: the bounded scan's per-step carry (y + FSAL f
+    # + dense-output coeffs) needs 28.9 GB vs 15.75 HBM even with the
+    # dynamics remat'd — artifacts/remat_steps32_oom.txt holds the XLA
+    # report.  The adjoint is the at-scale steps=32 training path; remat
+    # rows at steps=8 give the round-3-comparable crossover point.
     dict(model="gcnode", scale="arxiv", mode="train_step", method="dopri5",
-         steps=32, remat=True),
+         steps=8, remat=True),
     dict(model="gcnode", scale="arxiv", mode="train_step", method="dopri5",
          steps=32, adjoint=True),
     dict(model="gatode", scale="arxiv", mode="fwd", method="dopri5",
          steps=32),
     dict(model="gatode", scale="arxiv", mode="train_step", method="dopri5",
-         steps=32, remat=True),
+         steps=8, remat=True),
     dict(model="gatode", scale="arxiv", mode="train_step", method="dopri5",
          steps=32, adjoint=True),
+    # Same-shape adjoint-vs-remat comparison at the steps=8 shape.
+    dict(model="gcnode", scale="arxiv", mode="train_step", method="dopri5",
+         steps=8, adjoint=True),
+    dict(model="gatode", scale="arxiv", mode="train_step", method="dopri5",
+         steps=8, adjoint=True),
     # --- VERDICT #6: adams (VCABM) on real models ---
     dict(model="gcnode", scale="cora", mode="fwd", method="adams"),
     dict(model="gcnode", scale="cora", mode="fwd", method="dopri5"),
