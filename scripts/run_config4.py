@@ -19,9 +19,13 @@ import jax
 
 # sitecustomize registers the tunneled TPU before we run; config updates
 # (before any jax.devices() call) still win — env vars do not.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# GODE_TPU=1 keeps the real chip (single-device mesh) for the TPU
+# step-time contrast row; default is the 8-virtual-device CPU mesh.
+ON_TPU = os.environ.get("GODE_TPU", "0") == "1"
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 
 SCALE = float(os.environ.get("GODE_SCALE", "0.25"))
 EPOCHS = int(os.environ.get("GODE_EPOCHS", "30"))
@@ -49,9 +53,14 @@ def main():
     res.update(config="ogbn-arxiv-gcnode-sharded", dataset=data.name)
     res["scale"] = SCALE
     res["epochs"] = EPOCHS
+    res["platform"] = jax.default_backend()
     res["wall_seconds"] = round(time.time() - t0, 1)
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/config4_run.json", "w") as f:
+    path = (
+        "artifacts/config4_tpu_contrast.json" if ON_TPU
+        else "artifacts/config4_run.json"
+    )
+    with open(path, "w") as f:
         json.dump(res, f, indent=1, default=float)
     print(json.dumps(res, default=float), flush=True)
 
