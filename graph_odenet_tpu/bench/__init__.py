@@ -354,12 +354,8 @@ def ode_model_bench(
     )
     if model == "gcnode":
         m = GCNODE(hidden=hidden, **kw)
-        m_probe = GCNODE(hidden=hidden, **{**kw, "adjoint": False})
     elif model == "gatode":
         m = GATODE(hidden=hidden // heads, heads=heads, **kw)
-        m_probe = GATODE(
-            hidden=hidden // heads, heads=heads, **{**kw, "adjoint": False}
-        )
     else:
         raise ValueError(model)
     x = jnp.asarray(
@@ -369,9 +365,9 @@ def ode_model_bench(
 
     @jax.jit
     def fwd(params, x):
-        # m_probe == m except adjoint=False (same param structure), so the
-        # eval path always surfaces solver stats.
-        out, inter = m_probe.apply(
+        # Both the direct and the adjoint path sow real solver stats (the
+        # adjoint surfaces its forward solve's stats through the custom_vjp).
+        out, inter = m.apply(
             {"params": params}, adj, x, deterministic=True,
             mutable=["intermediates"],
         )
@@ -413,11 +409,6 @@ def ode_model_bench(
         ctr = itertools.count()
         p1, o1, nfe = step(params, opt_state, x, keys[0])
         jax.block_until_ready(p1)
-        if int(nfe) < 0:
-            # Adjoint path sows an nfe sentinel (its custom vjp hides the
-            # forward solve's stats); take the forward NFE from the eval
-            # path so NFE/s stays comparable across rows.
-            _, nfe = fwd(params, x)
         t = _time(
             lambda xx: step(
                 params, opt_state, xx, keys[next(ctr) % len(keys)]

@@ -45,17 +45,30 @@ _GCNODE_RECIPE = dict(
     model="gcnode", hidden=16, method="rk4", steps=4, dropout=0.5,
     lr=0.01, weight_decay=5e-4, epochs=200, patience=100,
 )
+_GATODE_RECIPE = dict(
+    model="gatode", hidden=8, heads=8, method="dopri5_scan",
+    steps=32, rtol=1e-3, atol=1e-4, dropout=0.6,
+    lr=0.005, weight_decay=5e-4, epochs=300, patience=100,
+)
 EXTRA_CONFIGS = {
     "citeseer-gcn": ("citeseer", _GCN_RECIPE),
     "pubmed-gcn": ("pubmed", _GCN_RECIPE),
     "cora-gat": ("cora", _GAT_RECIPE),
     "citeseer-gat": ("citeseer", _GAT_RECIPE),
     "pubmed-gat": ("pubmed", _GAT_RECIPE),
-    # the paper's residual discrete baselines + ODE variants across sets
+    # The paper's full model × dataset sweep (SURVEY.md §6): residual
+    # discrete baselines + both ODE families on every citation set.
+    # (cora-gcnode ≡ config 1, citeseer-gatode ≡ config 2.)
     "cora-resgcn": ("cora", _RESGCN_RECIPE),
+    "citeseer-resgcn": ("citeseer", _RESGCN_RECIPE),
+    "pubmed-resgcn": ("pubmed", _RESGCN_RECIPE),
     "cora-resgat": ("cora", _RESGAT_RECIPE),
+    "citeseer-resgat": ("citeseer", _RESGAT_RECIPE),
+    "pubmed-resgat": ("pubmed", _RESGAT_RECIPE),
     "citeseer-gcnode": ("citeseer", _GCNODE_RECIPE),
     "pubmed-gcnode": ("pubmed", _GCNODE_RECIPE),
+    "cora-gatode": ("cora", _GATODE_RECIPE),
+    "pubmed-gatode": ("pubmed", _GATODE_RECIPE),
 }
 
 

@@ -28,9 +28,30 @@ def load_ogbn_arxiv(path: str) -> NodeClassificationData:
     labels = np.loadtxt(os.path.join(path, "node-label.csv"), delimiter=",", dtype=np.int64)
     edges = np.loadtxt(os.path.join(path, "edge.csv"), delimiter=",", dtype=np.int64)
     n = feats.shape[0]
-    tr = range(0, int(0.54 * n))
-    va = range(int(0.54 * n), int(0.7 * n))
-    te = range(int(0.7 * n), n)
+    # The real OGBN-arxiv protocol is a TIME split, not an index split:
+    # train on papers published until 2017, validate on 2018, test on 2019+.
+    # Parse node_year.csv when present; otherwise fall back to a contiguous
+    # 54/16/30 approximation (matching the real split's proportions) with a
+    # loud warning — accuracy from the fallback is NOT protocol-comparable.
+    year_path = os.path.join(path, "node_year.csv")
+    if os.path.exists(year_path):
+        years = np.loadtxt(year_path, delimiter=",", dtype=np.int64)
+        years = years.reshape(n)
+        tr = np.nonzero(years <= 2017)[0]
+        va = np.nonzero(years == 2018)[0]
+        te = np.nonzero(years >= 2019)[0]
+    else:
+        import warnings
+
+        warnings.warn(
+            "ogbn-arxiv: node_year.csv not found — using a contiguous "
+            "54/16/30 index split instead of the official time-based split; "
+            "results will not match the OGB leaderboard protocol.",
+            stacklevel=2,
+        )
+        tr = range(0, int(0.54 * n))
+        va = range(int(0.54 * n), int(0.7 * n))
+        te = range(int(0.7 * n), n)
     return _finalize(
         "ogbn-arxiv", feats, labels.astype(np.int32),
         edges[:, 0], edges[:, 1], int(labels.max()) + 1, splits=(tr, va, te),

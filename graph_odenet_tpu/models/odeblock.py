@@ -104,19 +104,14 @@ class ODEBlock(nn.Module):
 
         ts = jnp.asarray([0.0, self.t1], dtype=h.dtype)
         if self.adjoint:
-            ys = odeint_adjoint(
+            ys, stats = odeint_adjoint(
                 f, h, ts, params,
                 method=self.method, rtol=self.rtol, atol=self.atol,
                 steps_per_interval=self.steps,
                 max_steps_per_interval=self.steps,
+                return_stats=True,
             )
-            # The adjoint solve doesn't surface solver stats (its custom
-            # vjp hides the forward integration); sow a sentinel so
-            # consumers of "ode_stats" see a uniform structure.
-            self.sow(
-                "intermediates", "ode_stats",
-                {"nfe": jnp.asarray(-1, jnp.int32)},
-            )
+            self.sow("intermediates", "ode_stats", stats)
         else:
             ys, stats = odeint(
                 f, h, ts, params,

@@ -30,18 +30,25 @@ __all__ = ["_odeint_adjoint_impl"]
 def _odeint_adjoint_impl(func, opts, y0, ts, *args):
     from graph_odenet_tpu.ode.api import odeint
 
-    return odeint(func, y0, ts, *args, **dict(opts))
+    # Always request stats: the forward solve inside the custom_vjp is the
+    # only place they exist, and hiding them forced consumers (ODEBlock,
+    # ode_model_bench) to probe NFE through a non-adjoint twin.  They ride
+    # along as a primal output (integer leaves → float0 cotangents).
+    kw = dict(opts)
+    kw["return_stats"] = True
+    return odeint(func, y0, ts, *args, **kw)
 
 
 def _fwd(func, opts, y0, ts, *args):
-    ys = _odeint_adjoint_impl(func, opts, y0, ts, *args)
-    return ys, (ys, ts, args)
+    ys, stats = _odeint_adjoint_impl(func, opts, y0, ts, *args)
+    return (ys, stats), (ys, ts, args)
 
 
 def _bwd(func, opts, residuals, g):
     from graph_odenet_tpu.ode.api import odeint
 
     ys, ts, args = residuals
+    g = g[0]  # cotangent of ys; the stats cotangent is symbolic-zero
     kw = dict(opts)
     # Backward integration reuses the forward solver settings; the
     # while-loop dopri5 is fine here (the adjoint IS the gradient path).

@@ -231,15 +231,22 @@ def odeint_adjoint(
     method: str = "dopri5",
     rtol: float = 1e-7,
     atol: float = 1e-9,
+    return_stats: bool = False,
     **options,
 ):
     """``odeint`` with O(1)-memory gradients via the continuous adjoint.
 
     Reverse pass solves the augmented ODE ``[y, a, ∂L/∂args]`` backwards
     between requested times — the jittable equivalent of torchdiffeq's
-    ``OdeintAdjointMethod`` (SURVEY.md §3.5).
+    ``OdeintAdjointMethod`` (SURVEY.md §3.5).  Unlike torchdiffeq, the
+    forward solve's stats (NFE, …) are surfaced (``return_stats=True``)
+    even though the solve lives inside a ``custom_vjp``.
     """
     from graph_odenet_tpu.ode.adjoint import _odeint_adjoint_impl
 
     opts = dict(method=method, rtol=rtol, atol=atol, **options)
-    return _odeint_adjoint_impl(func, tuple(sorted(opts.items())), y0, ts, *args)
+    opts.pop("return_stats", None)  # the impl always requests stats
+    ys, stats = _odeint_adjoint_impl(
+        func, tuple(sorted(opts.items())), y0, ts, *args
+    )
+    return (ys, stats) if return_stats else ys

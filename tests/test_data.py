@@ -116,10 +116,36 @@ def test_ogbn_arxiv_file_parser(tmp_path):
     np.savetxt(tmp_path / "node-label.csv", labels, delimiter=",", fmt="%d")
     np.savetxt(tmp_path / "edge.csv", edges, delimiter=",", fmt="%d")
 
-    d = load_ogbn_arxiv(str(tmp_path))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fallback split must warn
+        try:
+            d = load_ogbn_arxiv(str(tmp_path))
+            raise AssertionError("expected a fallback-split warning")
+        except UserWarning:
+            pass
+        warnings.simplefilter("ignore")
+        d = load_ogbn_arxiv(str(tmp_path))
     assert d.graph.n_node == n
     assert d.n_class == int(labels.max()) + 1
     assert np.asarray(d.labels)[:n].tolist() == labels.tolist()
-    # 54/16/30 split convention over node indices.
+    # 54/16/30 fallback split convention over node indices.
     assert len(d.idx_train) == int(0.54 * n)
     assert int(d.idx_test[-1]) == n - 1
+
+    # With node_year.csv present, the OFFICIAL time-based protocol applies:
+    # train ≤2017, val =2018, test ≥2019 (VERDICT r4 #7).
+    years = np.array([2015, 2016, 2017, 2018, 2018, 2019, 2020, 2017,
+                      2019, 2016, 2018, 2020])
+    np.savetxt(tmp_path / "node_year.csv", years, delimiter=",", fmt="%d")
+    d = load_ogbn_arxiv(str(tmp_path))
+    assert sorted(np.asarray(d.idx_train).tolist()) == sorted(
+        np.nonzero(years <= 2017)[0].tolist()
+    )
+    assert sorted(np.asarray(d.idx_val).tolist()) == sorted(
+        np.nonzero(years == 2018)[0].tolist()
+    )
+    assert sorted(np.asarray(d.idx_test).tolist()) == sorted(
+        np.nonzero(years >= 2019)[0].tolist()
+    )
