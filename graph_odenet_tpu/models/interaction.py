@@ -14,7 +14,7 @@ relation MLP 4×150 → 50-dim effects, object MLP 100 hidden.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -94,7 +94,7 @@ class INODE(nn.Module):
     rtol: float = 1e-4
     atol: float = 1e-6
     steps: int = 16
-    adjoint: bool = False
+    adjoint: Union[bool, str] = False  # False | True | "checkpoint"
     remat: bool = False         # rematerialise dynamics on backward — the
                                 # TPU HBM lever: without it the solver scan
                                 # stores every relation-MLP activation per
@@ -136,8 +136,12 @@ class INODE(nn.Module):
         if self.remat:
             dynamics = jax.checkpoint(dynamics)
         integ = odeint_adjoint if self.adjoint else odeint
+        kw = (
+            dict(checkpoint=True) if self.adjoint == "checkpoint" else {}
+        )
         return integ(
             dynamics, y0, ts, params,
             method=self.method, rtol=self.rtol, atol=self.atol,
             steps_per_interval=self.steps, max_steps_per_interval=self.steps,
+            **kw,
         )

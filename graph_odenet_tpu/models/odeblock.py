@@ -72,8 +72,11 @@ class ODEBlock(nn.Module):
 
     ``dynamics`` is any linen module with signature ``(t, adj, h) -> dh``.
     ``adjoint=True`` trains with the O(1)-memory continuous adjoint;
-    otherwise pick a reverse-differentiable ``method`` (fixed-grid or
-    ``dopri5_scan``) for discretize-then-optimize training.
+    ``adjoint="checkpoint"`` with the checkpointed-forward adjoint (stores
+    accepted-step states, fixed-step anchored reverse sweep — the fast
+    at-scale training path); otherwise pick a reverse-differentiable
+    ``method`` (fixed-grid or ``dopri5_scan``) for discretize-then-optimize
+    training.
     """
 
     dynamics: nn.Module
@@ -82,7 +85,7 @@ class ODEBlock(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-4
     steps: int = 4              # fixed-grid substeps / scan bound per interval
-    adjoint: bool = False
+    adjoint: Union[bool, str] = False
     remat: bool = False         # rematerialise dynamics on backward: trades
                                 # one extra eval per stage for not storing
                                 # stage activations (HBM ↔ FLOPs, the TPU
@@ -109,6 +112,7 @@ class ODEBlock(nn.Module):
                 method=self.method, rtol=self.rtol, atol=self.atol,
                 steps_per_interval=self.steps,
                 max_steps_per_interval=self.steps,
+                checkpoint=self.adjoint == "checkpoint",
                 return_stats=True,
             )
             self.sow("intermediates", "ode_stats", stats)
@@ -138,7 +142,7 @@ class GCNODE(nn.Module):
     steps: int = 4
     rtol: float = 1e-3
     atol: float = 1e-4
-    adjoint: bool = False
+    adjoint: Union[bool, str] = False
     remat: bool = False
     activation: str = "tanh"
     dtype: Any = jnp.float32
@@ -172,7 +176,7 @@ class GATODE(nn.Module):
     steps: int = 32
     rtol: float = 1e-3
     atol: float = 1e-4
-    adjoint: bool = False
+    adjoint: Union[bool, str] = False
     remat: bool = False
     activation: str = "tanh"
     dtype: Any = jnp.float32

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from graph_odenet_tpu.ode.tableaus import DOPRI5, Tableau, rk_step
 
-__all__ = ["odeint_adaptive", "odeint_adaptive_scan",
+__all__ = ["odeint_adaptive", "odeint_adaptive_scan", "odeint_adaptive_ckpt",
            "odeint_dopri5", "odeint_dopri5_scan"]
 
 # dopri5.f controller constants.
@@ -288,6 +288,97 @@ def odeint_adaptive_scan(
         success=jnp.all(reached), t_reached=final.t,
     )
     return ys, stats
+
+
+def odeint_adaptive_ckpt(
+    func: Callable,
+    y0: jax.Array,
+    ts: jax.Array,
+    *,
+    tab: Tableau = DOPRI5,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    trace_per_interval: int = 32,
+    first_step: float | None = None,
+):
+    """Adaptive integration that records the accepted-step trajectory.
+
+    The forward path of the checkpointed adjoint (VERDICT r4 #3): a true
+    ``lax.while_loop`` per output interval (real step count, no masked
+    scan waste) whose final step per interval is CLIPPED to land exactly
+    on the output time — so output times are step boundaries and the
+    reverse sweep can inject cotangents there without differentiating the
+    dense-output interpolation.  Every accepted ``(t, y)`` is written into
+    fixed ``trace_per_interval·(T−1)``-slot buffers (one extra trash slot
+    absorbs rejected attempts and overflow).
+
+    Returns ``(ys, stats, trace)`` with ``trace = {t[K+2], y[K+2, D],
+    acc_at_target[T], n_steps, ok}``; ``acc_at_target[i]`` is the number of
+    accepted steps when output time i was reached (global indices into the
+    trace buffers).  ``ok=False`` (also folded into ``stats["success"]``)
+    means the budget overflowed and the trace is unusable for gradients.
+    """
+    dtype = y0.dtype
+    ts = ts.astype(dtype)
+    n_targets = ts.shape[0] - 1
+    K = trace_per_interval * n_targets
+    init = _init_state(func, y0, ts[0], tab, rtol, atol, first_step)
+    # Unwritten slots keep t = ts[0] so a masked/overflowed reverse step
+    # sees dt == 0 rather than garbage.
+    tbuf = jnp.full((K + 2,), ts[0], dtype)
+    ybuf = jnp.zeros((K + 2, y0.shape[0]), dtype).at[0].set(y0)
+    max_attempts = 2 * trace_per_interval + 10
+
+    def per_target(carry, t_target):
+        def cond(c):
+            s, _, _ = c
+            return (s.t < t_target) & (s.i < max_attempts)
+
+        def body(c):
+            s, tbuf, ybuf = c
+            remaining = t_target - s.t
+            clipped = s.dt >= remaining
+            s1 = _attempt_step(
+                func, tab, rtol, atol,
+                s._replace(dt=jnp.minimum(s.dt, remaining)),
+            )
+            accepted = jnp.logical_not(s1.rejected)
+            land = accepted & clipped
+            s1 = s1._replace(
+                # Exact landing (s.t + (t_target − s.t) need not round-trip
+                # in f32; an ulp short would spin the loop on micro-steps).
+                t=jnp.where(land, t_target, s1.t),
+                # A clipped step shrinks the controller's proposal purely
+                # because the interval ended — carry the pre-clip proposal
+                # into the next interval instead.
+                dt=jnp.where(land, jnp.maximum(s1.dt, s.dt), s1.dt),
+            )
+            idx = jnp.where(accepted, jnp.minimum(s1.n_accept, K + 1), K + 1)
+            return (s1, tbuf.at[idx].set(s1.t), ybuf.at[idx].set(s1.y))
+
+        s, tb, yb = c = jax.lax.while_loop(
+            cond, body, (carry[0]._replace(i=jnp.asarray(0, jnp.int32)),)
+            + carry[1:],
+        )
+        return c, (s.y, s.t >= t_target, s.n_accept)
+
+    (final, tbuf, ybuf), (ys_tail, reached, acc_at) = jax.lax.scan(
+        per_target, (init, tbuf, ybuf), ts[1:]
+    )
+    ys = jnp.concatenate([y0[None], ys_tail], axis=0)
+    acc_at_target = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), acc_at.astype(jnp.int32)]
+    )
+    ok = final.n_accept <= K
+    stats = dict(
+        nfe=final.nfe, n_accept=final.n_accept, n_reject=final.n_reject,
+        success=jnp.all(reached) & ok, t_reached=final.t,
+    )
+    trace = dict(
+        t=tbuf, y=ybuf, acc_at_target=acc_at_target,
+        n_steps=final.n_accept, ok=ok,
+    )
+    return ys, stats, trace
 
 
 def odeint_dopri5(func, y0, ts, **kw):

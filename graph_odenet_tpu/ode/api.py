@@ -223,6 +223,66 @@ def odeint(
     return (ys, stats) if return_stats else ys
 
 
+def _odeint_ckpt_forward(
+    func: Callable,
+    y0: Any,
+    ts: jax.Array,
+    *args,
+    method: str = "dopri5",
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    steps_per_interval: int = 1,
+    max_steps_per_interval: int = 64,
+    first_step: float | None = None,
+    **_ignored,
+):
+    """Forward solve that also returns the accepted-step trace (flat).
+
+    Backbone of the checkpointed adjoint: fixed-grid methods emit their
+    (statically known) substep grid as the trace; explicit adaptive
+    methods run the trace-capturing clipped ``while_loop`` solver
+    (``adaptive.odeint_adaptive_ckpt``).  ``_scan`` suffixes are stripped —
+    the checkpoint path never differentiates through the forward, so the
+    bounded-scan variants' masked compute would be pure waste.
+
+    Returns ``(ys, stats, trace)`` — ys as a pytree, trace flat
+    (``{t, y[K, D], acc_at_target, n_steps, ok}``).
+    """
+    ts = jnp.asarray(ts)
+    y0_flat, unravel, f_flat = _ravel_problem(func, y0, args)
+    ts = ts.astype(y0_flat.dtype)
+    base = method[:-5] if method.endswith("_scan") else method
+    if base in _FIXED:
+        S = max(int(steps_per_interval), 1)
+        T = ts.shape[0]
+        frac = (jnp.arange(S, dtype=ts.dtype) / S)[None, :]
+        seg = ts[:-1, None] + (ts[1:] - ts[:-1])[:, None] * frac
+        ts_fine = jnp.concatenate([seg.reshape(-1), ts[-1:]])
+        ys_fine, nfe = fixed.odeint_fixed(
+            f_flat, _FIXED[base], y0_flat, ts_fine, steps_per_interval=1
+        )
+        acc_at_target = jnp.arange(T, dtype=jnp.int32) * S
+        ys_flat = ys_fine[acc_at_target]
+        stats = dict(nfe=nfe)
+        trace = dict(
+            t=ts_fine, y=ys_fine, acc_at_target=acc_at_target,
+            n_steps=jnp.asarray((T - 1) * S, jnp.int32),
+            ok=jnp.asarray(True),
+        )
+    elif base in _ADAPTIVE:
+        ys_flat, stats, trace = adaptive.odeint_adaptive_ckpt(
+            f_flat, y0_flat, ts, tab=_ADAPTIVE[base], rtol=rtol, atol=atol,
+            trace_per_interval=max_steps_per_interval, first_step=first_step,
+        )
+    else:
+        raise ValueError(
+            f"checkpoint adjoint supports fixed-grid and explicit adaptive "
+            f"methods, not {method!r} (adams/scipy have no step trace)"
+        )
+    ys = jax.vmap(unravel)(ys_flat)
+    return ys, stats, trace
+
+
 def odeint_adjoint(
     func: Callable,
     y0: Any,
@@ -232,6 +292,9 @@ def odeint_adjoint(
     rtol: float = 1e-7,
     atol: float = 1e-9,
     return_stats: bool = False,
+    checkpoint: bool = False,
+    bwd_method: str = "rk4",
+    bwd_substeps: int = 1,
     **options,
 ):
     """``odeint`` with O(1)-memory gradients via the continuous adjoint.
@@ -241,12 +304,28 @@ def odeint_adjoint(
     ``OdeintAdjointMethod`` (SURVEY.md §3.5).  Unlike torchdiffeq, the
     forward solve's stats (NFE, …) are surfaced (``return_stats=True``)
     even though the solve lives inside a ``custom_vjp``.
+
+    ``checkpoint=True`` selects the checkpointed-forward adjoint: the
+    forward stores its accepted-step states (O(steps) memory) and the
+    reverse augmented solve reads y from storage — fixed ``bwd_method``
+    steps (``bwd_substeps`` per stored step) over the stored grid instead
+    of a second adaptive integration, with no backward-in-time y drift.
+    The at-scale training path (VERDICT r4 #3).
     """
-    from graph_odenet_tpu.ode.adjoint import _odeint_adjoint_impl
+    from graph_odenet_tpu.ode.adjoint import (
+        _odeint_adjoint_impl, _odeint_ckpt_adjoint_impl,
+    )
 
     opts = dict(method=method, rtol=rtol, atol=atol, **options)
     opts.pop("return_stats", None)  # the impl always requests stats
-    ys, stats = _odeint_adjoint_impl(
-        func, tuple(sorted(opts.items())), y0, ts, *args
-    )
+    if checkpoint:
+        opts["bwd_method"] = bwd_method
+        opts["bwd_substeps"] = int(bwd_substeps)
+        ys, stats = _odeint_ckpt_adjoint_impl(
+            func, tuple(sorted(opts.items())), y0, ts, *args
+        )
+    else:
+        ys, stats = _odeint_adjoint_impl(
+            func, tuple(sorted(opts.items())), y0, ts, *args
+        )
     return (ys, stats) if return_stats else ys

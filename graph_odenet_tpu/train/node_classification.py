@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ class NodeClassConfig:
     steps: int = 4
     rtol: float = 1e-3
     atol: float = 1e-4
-    adjoint: bool = False
+    adjoint: Union[bool, str] = False  # False | True | "checkpoint"
     activation: str = "tanh"
     # Optimisation (reference defaults).
     lr: float = 0.01

@@ -480,6 +480,145 @@ def test_adjoint_matches_direct_backprop():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
+# --- checkpointed-forward adjoint (VERDICT r4 #3) -------------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(method="dopri5", rtol=1e-8, atol=1e-10),
+        dict(method="dopri5", rtol=1e-8, atol=1e-10, bwd_method="dopri5"),
+        dict(method="rk4", steps_per_interval=32),
+        dict(method="dopri5_scan", rtol=1e-8, atol=1e-10,
+             max_steps_per_interval=64, bwd_substeps=2),
+        dict(method="bosh3", rtol=1e-7, atol=1e-9, bwd_method="bosh3"),
+    ],
+)
+def test_ckpt_adjoint_grad_matches_analytic(kw):
+    def loss(k):
+        f = lambda t, y, k: -k * y
+        ys = odeint_adjoint(
+            f, jnp.array([1.0]), jnp.array([0.0, 1.0]), k,
+            checkpoint=True, **kw,
+        )
+        return ys[-1, 0]
+
+    v, g = jax.value_and_grad(loss)(1.0)
+    np.testing.assert_allclose(float(v), np.exp(-1.0), rtol=1e-5)
+    np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-4)
+
+
+def test_ckpt_adjoint_param_and_y0_grads_match_direct():
+    w0 = jnp.array([[0.1, -0.4], [0.7, 0.2]])
+    y00 = jnp.array([0.5, -0.3])
+    ts = jnp.array([0.0, 1.0])
+
+    def f(t, y, w):
+        return jnp.tanh(w @ y)
+
+    def loss_direct(w, y0):
+        return jnp.sum(
+            odeint(f, y0, ts, w, method="rk4", steps_per_interval=64)[-1]
+        )
+
+    def loss_ckpt(w, y0):
+        return jnp.sum(
+            odeint_adjoint(
+                f, y0, ts, w, method="dopri5", rtol=1e-9, atol=1e-11,
+                checkpoint=True, bwd_method="dopri5",
+            )[-1]
+        )
+
+    g1 = jax.grad(loss_direct, argnums=(0, 1))(w0, y00)
+    g2 = jax.grad(loss_ckpt, argnums=(0, 1))(w0, y00)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_ckpt_adjoint_multiple_output_times():
+    """Cotangents inject at clipped step boundaries — parity with the plain
+    adjoint on a loss touching an interior output time."""
+
+    def loss(y0, ckpt):
+        kw = dict(method="dopri5", rtol=1e-9, atol=1e-11)
+        if ckpt:
+            kw.update(checkpoint=True, bwd_method="dopri5")
+        ys = odeint_adjoint(
+            lambda t, y: -y, y0, jnp.linspace(0.0, 1.0, 5), **kw
+        )
+        return jnp.sum(ys[-1]) + jnp.sum(ys[2])
+
+    y0 = jnp.array([1.0, 2.0])
+    ga = jax.grad(lambda y: loss(y, False))(y0)
+    gb = jax.grad(lambda y: loss(y, True))(y0)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+
+def test_ckpt_adjoint_time_grad_and_stats():
+    def loss(t1):
+        ys = odeint_adjoint(
+            lambda t, y: -y, jnp.array([1.0]), jnp.stack([0.0 * t1, t1]),
+            method="dopri5", rtol=1e-9, atol=1e-11,
+            checkpoint=True, bwd_method="dopri5", bwd_substeps=2,
+        )
+        return ys[-1, 0]
+
+    g = jax.grad(loss)(0.8)
+    np.testing.assert_allclose(float(g), -np.exp(-0.8), rtol=1e-4)
+
+    _, stats = odeint_adjoint(
+        lambda t, y: -y, jnp.array([1.0]), jnp.array([0.0, 1.0]),
+        method="dopri5", rtol=1e-6, atol=1e-8,
+        checkpoint=True, return_stats=True,
+    )
+    assert int(stats["nfe"]) > 0
+    assert bool(stats["success"])
+
+
+def test_ckpt_adjoint_rejects_traceless_methods():
+    with pytest.raises(ValueError, match="checkpoint adjoint"):
+        odeint_adjoint(
+            lambda t, y: -y, jnp.array([1.0]), jnp.array([0.0, 1.0]),
+            method="adams", checkpoint=True,
+        )
+
+
+def test_ckpt_adjoint_in_odeblock_model():
+    """GCNODE with adjoint="checkpoint" produces finite grads that match
+    the plain-adjoint model's on the same params."""
+    from graph_odenet_tpu.data import synthetic_planetoid
+    from graph_odenet_tpu.models import GCNODE
+
+    data = synthetic_planetoid("cora", seed=0, scale=0.05)
+    adj = data.dense_adj()
+
+    def make(adjoint):
+        return GCNODE(
+            hidden=8, n_class=data.n_class, method="dopri5_scan", steps=16,
+            rtol=1e-5, atol=1e-7, adjoint=adjoint,
+        )
+
+    m_ck = make("checkpoint")
+    params = m_ck.init(
+        {"params": jax.random.PRNGKey(0)}, adj, data.features,
+        deterministic=True,
+    )["params"]
+
+    def loss(m, p):
+        out = m.apply({"params": p}, adj, data.features, deterministic=True)
+        return -jnp.mean(out[data.idx_train, data.labels[data.idx_train]])
+
+    l_ck, g_ck = jax.value_and_grad(lambda p: loss(m_ck, p))(params)
+    l_pl, g_pl = jax.value_and_grad(lambda p: loss(make(True), p))(params)
+    np.testing.assert_allclose(float(l_ck), float(l_pl), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ck), jax.tree_util.tree_leaves(g_pl)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-2
+        )
+
+
 # --- composition ----------------------------------------------------------
 
 
