@@ -188,13 +188,19 @@ def _inkernel_drop_scale(snd_i32, rcv_i32, heads, seed_u32, keep24, inv_keep):
     return keep.astype(jnp.float32) * inv_keep
 
 # Packed-kernel softmax shift (GODE_GAT_SOFTMAX):
+#   "chunkshift" — uniform per-sub-chunk/head shift (one lane max-reduce);
+#                  ~19% faster at the reference's H=8/F=8 shape.  Exact:
+#                  an exponent-headroom bias plus a count-plane detector
+#                  re-runs any sub-chunk where a receiver's whole mass
+#                  would flush to zero through the segmented scan
+#                  (default since round 5 — VERDICT r4 #5).
 #   "scan"       — exact per-receiver chunk-local max via segmented scan
-#                  (default; robust to any logit spread).
-#   "chunkshift" — uniform per-sub-chunk/head shift; ~19% faster at the
-#                  reference's H=8/F=8 shape, loses receivers whose whole
-#                  chunk-local logit set sits ≥88 below the sub-chunk max
-#                  (still strictly safer than the reference's unshifted exp).
-_PACKED_SOFTMAX = os.environ.get("GODE_GAT_SOFTMAX", "scan").lower()
+#                  on every sub-chunk (the conservative fallback).
+_PACKED_SOFTMAX = os.environ.get("GODE_GAT_SOFTMAX", "chunkshift").lower()
+# Chunkshift exponent headroom: shifting by (sub-chunk max − 44) moves the
+# f32 flush-to-zero point from ~87 to ~131 below the max while q ≤ e⁴⁴
+# ≈ 1.8e19 keeps Σ q·v far from f32 overflow (≈3.4e38).
+_CS_BIAS = 44.0
 
 
 def _gat_kernel(
@@ -549,49 +555,80 @@ def _gat_kernel_packed(
             # must never merge into this block's segments.
             seg = jnp.where(valid, relv, -1 - lane)       # [1, 128]
             le = logit_scratch[slot][:, sub, :]           # [H, 128e]
-            if _PACKED_SOFTMAX == "chunkshift":
-                # Uniform per-(sub-chunk, head) shift: one lane max-reduce
-                # instead of the segmented scan (~19% of the H=8/F=8 fwd).
-                # A receiver whose chunk-local logits all sit ≥88 below the
-                # sub-chunk max underflows out of that chunk's sums (its
-                # m_c is masked to NEG below, so previously accumulated
-                # mass is never destroyed) — still strictly safer than the
-                # reference's UNSHIFTED exp (pyGAT SpGraphAttentionLayer),
-                # which overflows at logit > 88.  The default "scan" mode
-                # is exact for any logit spread.
-                mseg = jnp.broadcast_to(
-                    jnp.max(jnp.where(valid, le, _NEG), axis=1, keepdims=True),
-                    le.shape,
-                )
-            else:
-                # Chunk-local per-segment max: bidirectional doubling scan.
-                # Receiver-sorted edges ⇒ segments are contiguous lane
-                # runs, so a seg-id match at distance d implies everything
-                # between matches; circular wrap can only match when the
-                # whole sub-chunk is one segment (harmless).
-                mseg = jnp.where(valid, le, _NEG)
-                for d in (1, 2, 4, 8, 16, 32, 64):
-                    for sh in (d, 128 - d):  # circular roll: −d ≡ 128−d
-                        ok = pltpu.roll(seg, shift=sh, axis=1) == seg
-                        mseg = jnp.maximum(
-                            mseg,
-                            jnp.where(
-                                ok, pltpu.roll(mseg, shift=sh, axis=1), _NEG
-                            ),
-                        )
-            q = jnp.where(valid, jnp.exp(le - mseg), 0.0)  # [H, 128e]
             # Last lane of each segment carries the segment max (in
             # chunkshift mode every lane does; the select still works).
             is_last = (
                 (pltpu.roll(seg, shift=127, axis=1) != seg) | (lane == 127)
             ).astype(jnp.float32)                          # [1, 128]
-            # Pre-transpose the stats bundle so the contraction is in
-            # native MXU form (lhs dim1 × rhs dim0) — contracting the rhs
-            # on its lane axis made Mosaic transpose it inside EVERY
-            # mantissa-split pass (~20 ms of the kernel, measured).
-            bundleT = jnp.concatenate(
-                [q, mseg * is_last], axis=0
-            ).T                                            # [128e, 2H]
+
+            def scan_mseg():
+                # Chunk-local per-segment max: bidirectional doubling scan.
+                # Receiver-sorted edges ⇒ segments are contiguous lane
+                # runs, so a seg-id match at distance d implies everything
+                # between matches; circular wrap can only match when the
+                # whole sub-chunk is one segment (harmless).
+                ms = jnp.where(valid, le, _NEG)
+                for d in (1, 2, 4, 8, 16, 32, 64):
+                    for sh in (d, 128 - d):  # circular roll: −d ≡ 128−d
+                        ok = pltpu.roll(seg, shift=sh, axis=1) == seg
+                        ms = jnp.maximum(
+                            ms,
+                            jnp.where(
+                                ok, pltpu.roll(ms, shift=sh, axis=1), _NEG
+                            ),
+                        )
+                return ms
+
+            def stats_of(mseg):
+                q = jnp.where(valid, jnp.exp(le - mseg), 0.0)  # [H, 128e]
+                # Pre-transpose the stats bundle so the contraction is in
+                # native MXU form (lhs dim1 × rhs dim0) — contracting the
+                # rhs on its lane axis made Mosaic transpose it inside
+                # EVERY mantissa-split pass (~20 ms of the kernel,
+                # measured).  Planes: Σq (l_c) ‖ seg-max (m_c) ‖ edge count
+                # (rescue detection: exactly one is_last lane per segment).
+                bundleT = jnp.concatenate(
+                    [q, mseg * is_last, jnp.broadcast_to(is_last, (1, 128))],
+                    axis=0,
+                ).T                                        # [128e, 2H+1]
+                st = _mask_dot(
+                    oh, bundleT, (((1,), (0,)), ((), ())), exact_lhs=True
+                )                                          # [R, 2H+1]
+                return q, st
+
+            if _PACKED_SOFTMAX == "chunkshift":
+                # Uniform per-(sub-chunk, head) shift: one lane max-reduce
+                # instead of the segmented scan (~19% of the H=8/F=8 fwd),
+                # biased by _CS_BIAS exponent headroom so only receivers
+                # whose whole chunk-local logit set sits ≥ ~131 below the
+                # sub-chunk max would flush to zero — and those are caught
+                # by the count plane (l_c == 0 but count > 0) and re-done
+                # with the exact segmented scan under a lax.cond that, on
+                # benign data, never fires.  Exact for any logit spread;
+                # the reference's UNSHIFTED exp (pyGAT
+                # SpGraphAttentionLayer) overflows at logit > 88.
+                mseg_u = jnp.broadcast_to(
+                    jnp.max(jnp.where(valid, le, _NEG), axis=1, keepdims=True)
+                    - _CS_BIAS,
+                    le.shape,
+                )
+                q_u, st_u = stats_of(mseg_u)
+                lost = jnp.any(
+                    (st_u[:, :heads] <= 0.0)
+                    & (st_u[:, 2 * heads: 2 * heads + 1] > 0.5)
+                )
+
+                def rescue():
+                    ms = scan_mseg()
+                    q_r, st_r = stats_of(ms)
+                    return ms, q_r, st_r
+
+                mseg, q, stats = jax.lax.cond(
+                    lost, rescue, lambda: (mseg_u, q_u, st_u)
+                )
+            else:
+                mseg = scan_mseg()
+                q, stats = stats_of(mseg)
             if drop_keep24:
                 q_pv = q * _inkernel_drop_scale(
                     snd_all[sub][None, :], relv + 128 * b, heads,
@@ -615,9 +652,6 @@ def _gat_kernel_packed(
             # contraction as lanes [hf, hf+2H) of one matmul saved 3 MXU
             # passes but measured ~3 ms SLOWER — the off-tile lane slices
             # extracting l_c/m_c relayout through the shuffle unit.)
-            stats = _mask_dot(
-                oh, bundleT, (((1,), (0,)), ((), ())), exact_lhs=True
-            )                                              # [R, 2H]
             pv = _mask_dot(
                 oh, Q * v_sub, (((1,), (0,)), ((), ())), exact_lhs=True
             )                                              # [R, 128]
@@ -644,6 +678,15 @@ def _gat_kernel_packed(
     denom = jnp.maximum(l, 1e-30)                          # [R, H]
     denom_l = rep(denom)
     out_ref[:] = acc / (denom_l + (denom_l == 0.0))        # dead lanes ÷ 1
+    if _PACKED_SOFTMAX == "chunkshift":
+        # Externalise the _CS_BIAS headroom before writing the flash state:
+        # consumers (the recompute-α backward's ``min(logit − m, 0)`` clamp,
+        # pallas_spmm.py:882) rely on m ≥ every incoming logit, which the
+        # biased in-kernel shift violates by up to _CS_BIAS.  (m + B,
+        # l·e^(−B)) is the identical softmax state under the standard
+        # convention — α = exp(le − m)/l is shift-invariant.
+        m = m + _CS_BIAS
+        denom = jnp.maximum(denom * jnp.exp(jnp.float32(-_CS_BIAS)), 1e-30)
     pad = ((0, 0), (0, 128 - heads))
     m_ref[:] = jnp.pad(m, pad)
     l_ref[:] = jnp.pad(denom, pad)

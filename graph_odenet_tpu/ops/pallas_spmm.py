@@ -522,7 +522,12 @@ def _sched_kernel(
         # 128-aligned, E_pad is E_CHUNK-aligned): clamp the DMA window
         # left; masking below uses absolute edge ids, so the re-covered
         # edges stay excluded.
-        dma = jnp.minimum(orig, jnp.int32(e_pad - E_CHUNK))
+        # multiple_of: schedule starts are 128-aligned by construction but
+        # arrive via SMEM, so Mosaic cannot prove sublane divisibility for
+        # >128-lane message tables (memref_slice tiling check) without it.
+        dma = pl.multiple_of(
+            jnp.minimum(orig, jnp.int32(e_pad - E_CHUNK)), 128
+        )
         c0 = dma // jnp.int32(E_CHUNK)
         copies = [
             pltpu.make_async_copy(
@@ -561,7 +566,7 @@ def _sched_kernel(
 
     b = sblk_ref[i]
     orig = sorig_ref[i]
-    dma = jnp.minimum(orig, jnp.int32(e_pad - E_CHUNK))
+    dma = pl.multiple_of(jnp.minimum(orig, jnp.int32(e_pad - E_CHUNK)), 128)
     c0 = dma // jnp.int32(E_CHUNK)
     p0 = ptr_ref[b]
     p1 = ptr_ref[b + 1]

@@ -511,3 +511,41 @@ def test_scores_dropout_lane_squeeze_uses_wide_plane():
     for a, b in zip(gf, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["chunkshift", "scan"])
+def test_packed_softmax_extreme_negative_spread(monkeypatch, mode):
+    """The chunkshift caveat case (VERDICT r4 #5): a receiver whose whole
+    chunk-local logit set sits far below the sub-chunk max must NOT flush
+    out of the softmax — the count-plane rescue re-runs the exact scan."""
+    from graph_odenet_tpu.ops import pallas_gat as pg
+
+    monkeypatch.setattr(pg, "_PACKED_SOFTMAX", mode)
+    g, csr, logits, wh = make_case(seed=3, heads=8, feat=8)
+    rng = np.random.default_rng(4)
+    # Per-ORIGINAL-edge receiver ids come from the graph, not the CSR perm.
+    rcv = np.asarray(g.receivers)
+    lg = np.array(logits)  # writable copy
+    # Drown two receivers ~300 below everyone else (spread ≫ bias+88) and
+    # push one receiver ~200 above (reference's own shift handles it).
+    low = np.isin(rcv, [5, 17])
+    high = rcv == 40
+    lg[low[: lg.shape[0]]] = -300.0 + rng.standard_normal(
+        (int(low[: lg.shape[0]].sum()), lg.shape[1])
+    )
+    lg[high[: lg.shape[0]]] = 200.0 + rng.standard_normal(
+        (int(high[: lg.shape[0]].sum()), lg.shape[1])
+    )
+    lg = jnp.asarray(lg)
+    ref = np.asarray(attention_aggregate(g, lg, wh))
+    got = np.asarray(gat_aggregate_pallas(csr, lg, wh))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+    # Gradients survive the rescue too (backward reuses the exact m/l).
+    gp = jax.grad(lambda l, w: jnp.sum(jnp.sin(
+        gat_aggregate_pallas(csr, l, w))), argnums=(0, 1))(lg, wh)
+    gr = jax.grad(lambda l, w: jnp.sum(jnp.sin(
+        attention_aggregate(g, l, w))), argnums=(0, 1))(lg, wh)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        )
