@@ -189,9 +189,13 @@ def _ckpt_bwd(func, opts, residuals, g):
     ys_flat = jax.vmap(lambda yi: ravel_pytree(yi)[0])(ys)   # [T, D]
     g_flat = jax.vmap(lambda gi: ravel_pytree(gi)[0])(g)     # [T, D]
     # Output-time perturbation gradients: ∂L/∂t_i = ⟨f(t_i, y_i), g_i⟩.
-    f_at = jax.vmap(lambda t, y: f_af(t, y, args_flat))(
-        ts.astype(dtype), ys_flat
-    )
+    # Static unroll over the (small) output grid — vmap would put a batch
+    # dimension on any pallas_call inside ``func``, which the TPU lowering
+    # rejects for ANY-memory-space operands.
+    f_at = jnp.stack([
+        f_af(ts[i].astype(dtype), ys_flat[i], args_flat)
+        for i in range(ts.shape[0])
+    ])
     t_bar = jnp.einsum("td,td->t", f_at, g_flat)
 
     def aug_dyn(s, w):

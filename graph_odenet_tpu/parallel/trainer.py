@@ -43,7 +43,8 @@ class ShardedTrainConfig:
     heads: int = 4               # gatode only
     steps: int = 4               # rk4 substeps
     t1: float = 1.0
-    mode: str = "ring"           # halo exchange flavour (gcnode)
+    mode: str = "ring"           # halo exchange flavour: ring | ring_pallas
+                                 # | allgather (gcnode only for allgather)
     lr: float = 0.01
     weight_decay: float = 5e-4
     # Feature (+ attention, gatode) dropout — the reference recipe uses 0.5
@@ -105,7 +106,7 @@ def fit_sharded_node_classifier(
         )
         fwd = lambda p, key=None: sharded_gat.gatode_forward(
             p, pg, x, mesh, steps=cfg.steps, t1=cfg.t1,
-            dropout=cfg.dropout, rng=key,
+            dropout=cfg.dropout, rng=key, mode=cfg.mode,
         )
     else:
         raise ValueError(f"unknown sharded model {cfg.model!r}")

@@ -53,6 +53,17 @@ CELLS = [
          steps=8, adjoint=True),
     dict(model="gatode", scale="arxiv", mode="train_step", method="dopri5",
          steps=8, adjoint=True),
+    # --- round-5 VERDICT #3: checkpointed-forward adjoint (stored
+    # accepted-step states, fixed anchored reverse sweep — no second
+    # adaptive solve, no backward y drift) at the same shapes ---
+    dict(model="gcnode", scale="arxiv", mode="train_step", method="dopri5",
+         steps=32, adjoint="checkpoint"),
+    dict(model="gatode", scale="arxiv", mode="train_step", method="dopri5",
+         steps=32, adjoint="checkpoint"),
+    dict(model="gcnode", scale="arxiv", mode="train_step", method="dopri5",
+         steps=8, adjoint="checkpoint"),
+    dict(model="gatode", scale="arxiv", mode="train_step", method="dopri5",
+         steps=8, adjoint="checkpoint"),
     # --- VERDICT #6: adams (VCABM) on real models ---
     dict(model="gcnode", scale="cora", mode="fwd", method="adams"),
     dict(model="gcnode", scale="cora", mode="fwd", method="dopri5"),
