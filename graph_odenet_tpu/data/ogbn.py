@@ -58,11 +58,38 @@ def load_ogbn_arxiv(path: str) -> NodeClassificationData:
     )
 
 
+#: Difficulty constants calibrated (round 5, scripts/calibrate_arxiv_twin.py)
+#: so the config-4 R7 recipe on the twin lands near the real OGBN-arxiv GCN
+#: accuracy (~0.71, OGB leaderboard) instead of the uncalibrated twin's
+#: saturated 0.985 — same methodology as data.planetoid.CALIBRATED.
+#: Knobs: ``confusion`` is the fraction of nodes whose features are drawn
+#: from a fixed confusable partner class instead of their own (modelling
+#: genuinely ambiguous subject areas — the graph's homophily can recover
+#: some of them, so accuracy is NOT simply 1 − confusion); ``feature_noise``
+#: is the per-node Gaussian σ (sharp cliff past ~1.0 under the abs +
+#: row-normalise transform — keep ≤ 0.9); ``homophily`` the intra-class
+#: edge fraction.
+ARXIV_CALIBRATED = dict(feature_noise=0.9, homophily=0.5, confusion=0.35)
+
+
 def synthetic_ogbn_arxiv(
-    *, seed: int = 0, scale: float = 1.0, node_multiple: int = 128
+    *, seed: int = 0, scale: float = 1.0, node_multiple: int = 128,
+    feature_noise: float = 0.8, homophily: float = 0.5,
+    confusion: float = 0.0, calibrated: bool = False,
 ) -> NodeClassificationData:
     """Power-law citation graph at arxiv scale with class-correlated
-    Gaussian features (compact — no bag-of-words at this size)."""
+    Gaussian features (compact — no bag-of-words at this size).
+
+    ``calibrated=True`` swaps in ``ARXIV_CALIBRATED`` so twin accuracy is
+    comparable to published real-data numbers; the default knobs keep the
+    (easy) round-2 twin for scaling/throughput work where convergence
+    difficulty is irrelevant.
+    """
+    if calibrated:
+        cal = ARXIV_CALIBRATED
+        feature_noise = cal["feature_noise"]
+        homophily = cal["homophily"]
+        confusion = cal["confusion"]
     n = int(_N * scale)
     e = int(_E * scale)
     c = _C
@@ -72,7 +99,7 @@ def synthetic_ogbn_arxiv(
     # Zipf-ish receiver popularity (citation hubs) + homophilous rewiring.
     pop = rng.zipf(1.7, size=e).astype(np.int64) % n
     src = rng.integers(0, n, size=e)
-    same = rng.random(e) < 0.5
+    same = rng.random(e) < homophily
     # For homophilous edges, retarget the receiver within the sender's class.
     cls_nodes = [np.nonzero(labels == k)[0] for k in range(c)]
     tgt = pop.copy()
@@ -84,7 +111,16 @@ def synthetic_ogbn_arxiv(
     src, tgt = src[ok], tgt[ok]
 
     class_means = rng.standard_normal((c, _F)).astype(np.float32)
-    feats = class_means[labels] + 0.8 * rng.standard_normal((n, _F)).astype(np.float32)
+    feat_class = labels.copy()
+    if confusion > 0.0:
+        # Each class gets a fixed confusable partner; a ``confusion``
+        # fraction of nodes draw their features from the partner instead.
+        partner = rng.permutation(c).astype(np.int32)
+        confused = rng.random(n) < confusion
+        feat_class = np.where(confused, partner[labels], labels)
+    feats = class_means[feat_class] + feature_noise * rng.standard_normal(
+        (n, _F)
+    ).astype(np.float32)
     feats = np.abs(feats)  # keep row-normalisation (in _finalize) meaningful
 
     tr = range(0, int(0.54 * n))
