@@ -173,7 +173,11 @@ def main(argv=None):
     n.add_argument("--steps", type=int, default=4)
     n.add_argument("--rtol", type=float, default=1e-3)
     n.add_argument("--atol", type=float, default=1e-4)
-    n.add_argument("--adjoint", action="store_true")
+    n.add_argument(
+        "--adjoint", nargs="?", const=True, default=False,
+        type=lambda v: {"true": True, "false": False}.get(v.lower(), v),
+        help="true | checkpoint (checkpointed-forward adjoint) | false",
+    )
     n.add_argument("--lr", type=float, default=0.01)
     n.add_argument("--weight-decay", type=float, default=5e-4)
     n.add_argument("--epochs", type=int, default=200)

@@ -62,14 +62,16 @@ def load_ogbn_arxiv(path: str) -> NodeClassificationData:
 #: so the config-4 R7 recipe on the twin lands near the real OGBN-arxiv GCN
 #: accuracy (~0.71, OGB leaderboard) instead of the uncalibrated twin's
 #: saturated 0.985 — same methodology as data.planetoid.CALIBRATED.
-#: Knobs: ``confusion`` is the fraction of nodes whose features are drawn
-#: from a fixed confusable partner class instead of their own (modelling
-#: genuinely ambiguous subject areas — the graph's homophily can recover
-#: some of them, so accuracy is NOT simply 1 − confusion); ``feature_noise``
-#: is the per-node Gaussian σ (sharp cliff past ~1.0 under the abs +
-#: row-normalise transform — keep ≤ 0.9); ``homophily`` the intra-class
-#: edge fraction.
-ARXIV_CALIBRATED = dict(feature_noise=0.9, homophily=0.5, confusion=0.35)
+#: Knobs: ``confusion`` is the fraction of nodes that look like a fixed
+#: confusable partner class in EVERY observable — features AND homophilous
+#: wiring — modelling genuinely ambiguous subject areas.  Because neither
+#: modality carries the true label for those nodes, the error is
+#: irreducible (ceiling ≈ 1 − confusion, epoch-robust): a feature-only
+#: confusion was measured drifting 0.736 → 0.859 between 200 and 400
+#: epochs as the GCN recovered confused nodes through the graph.
+#: ``feature_noise`` has a sharp accuracy cliff past σ ≈ 1.0 under the
+#: abs + row-normalise transform — keep ≤ 0.9.
+ARXIV_CALIBRATED = dict(feature_noise=0.8, homophily=0.5, confusion=0.235)
 
 
 def synthetic_ogbn_arxiv(
@@ -96,29 +98,34 @@ def synthetic_ogbn_arxiv(
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, c, size=n).astype(np.int32)
 
+    # Effective (observable) class: confused nodes present as a fixed
+    # confusable partner class in BOTH features and homophilous wiring, so
+    # no amount of training recovers them — the irreducible-error knob.
+    eff = labels.copy()
+    if confusion > 0.0:
+        p = rng.permutation(c).astype(np.int32)
+        partner = np.empty(c, np.int32)
+        partner[p] = np.roll(p, -1)  # fixed-point-free pairing
+        confused = rng.random(n) < confusion
+        eff = np.where(confused, partner[labels], labels).astype(np.int32)
+
     # Zipf-ish receiver popularity (citation hubs) + homophilous rewiring.
     pop = rng.zipf(1.7, size=e).astype(np.int64) % n
     src = rng.integers(0, n, size=e)
     same = rng.random(e) < homophily
-    # For homophilous edges, retarget the receiver within the sender's class.
-    cls_nodes = [np.nonzero(labels == k)[0] for k in range(c)]
+    # For homophilous edges, retarget the receiver within the sender's
+    # OBSERVABLE class pool.
+    cls_nodes = [np.nonzero(eff == k)[0] for k in range(c)]
     tgt = pop.copy()
     for k in range(c):
-        sel = same & (labels[src] == k)
+        sel = same & (eff[src] == k)
         if sel.sum() and len(cls_nodes[k]):
             tgt[sel] = rng.choice(cls_nodes[k], size=int(sel.sum()))
     ok = src != tgt
     src, tgt = src[ok], tgt[ok]
 
     class_means = rng.standard_normal((c, _F)).astype(np.float32)
-    feat_class = labels.copy()
-    if confusion > 0.0:
-        # Each class gets a fixed confusable partner; a ``confusion``
-        # fraction of nodes draw their features from the partner instead.
-        partner = rng.permutation(c).astype(np.int32)
-        confused = rng.random(n) < confusion
-        feat_class = np.where(confused, partner[labels], labels)
-    feats = class_means[feat_class] + feature_noise * rng.standard_normal(
+    feats = class_means[eff] + feature_noise * rng.standard_normal(
         (n, _F)
     ).astype(np.float32)
     feats = np.abs(feats)  # keep row-normalisation (in _finalize) meaningful

@@ -29,10 +29,12 @@ OUT = "artifacts/arxiv_calibration.jsonl"
 # ~10 pts easier, so probe 0.88–0.98 with a little confusion.
 GRID = [
     (0.8, 0.0),    # the uncalibrated round-2 twin (reference point)
-    (0.9, 0.0),
-    (0.9, 0.15),
-    (0.95, 0.0),
-    (0.95, 0.15),
+    # Full-observable confusion (features + wiring): irreducible error,
+    # ceiling ≈ 1 − q, epoch-robust.  q=0.30 targets the real ~0.71.
+    (0.8, 0.3),
+    (0.8, 0.25),
+    (0.8, 0.22),
+    (0.8, 0.235),
 ]
 
 
