@@ -79,6 +79,62 @@ def _bucket_reduce_bwd(res, g):
 bucket_reduce_pallas.defvjp(_bucket_reduce_fwd, _bucket_reduce_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _bucket_spmm(use_pallas, block_size, chunk, s_b, r_b, w_b, rel2d,
+                 blk_ptr, t_s_b, t_r_b, t_w_b, t_rel2d, t_blk_ptr):
+    """One bucket's SpMM: ``out[r] = Σ_{e: r_e=r} w_e·chunk[s_e]``,
+    differentiable in ``chunk``.
+
+    The hand-written vjp is the whole point: autodiff of the sender gather
+    is an XLA scatter-add over E_bucket rows (~50% of config-4 step time);
+    here the cotangent ``dchunk[s] = Σ_{e: s_e=s} w_e·g[r_e]`` reduces
+    through the bucket's CSC (sender-sorted) view with the same sorted
+    segment kernel as the forward — the multi-device mirror of
+    ``ops.pallas_spmm.spmm_pallas``'s transpose-view backward.
+    """
+    msgs = jnp.take(chunk, s_b, axis=0) * w_b[:, None].astype(chunk.dtype)
+    if use_pallas:
+        from graph_odenet_tpu.ops.pallas_spmm import _is_tpu, _segment_reduce
+
+        return _segment_reduce(
+            msgs, rel2d, blk_ptr, blk_ptr.shape[-1] - 1,
+            interpret=not _is_tpu(),
+        )[:block_size]
+    return segment_sum(msgs, r_b, num_segments=block_size, sorted_ids=False)
+
+
+def _bucket_spmm_fwd(use_pallas, block_size, chunk, s_b, r_b, w_b, rel2d,
+                     blk_ptr, t_s_b, t_r_b, t_w_b, t_rel2d, t_blk_ptr):
+    out = _bucket_spmm(
+        use_pallas, block_size, chunk, s_b, r_b, w_b, rel2d, blk_ptr,
+        t_s_b, t_r_b, t_w_b, t_rel2d, t_blk_ptr,
+    )
+    return out, (s_b, r_b, w_b, rel2d, blk_ptr,
+                 t_s_b, t_r_b, t_w_b, t_rel2d, t_blk_ptr)
+
+
+def _bucket_spmm_bwd(use_pallas, block_size, res, g):
+    (s_b, r_b, w_b, rel2d, blk_ptr,
+     t_s_b, t_r_b, t_w_b, t_rel2d, t_blk_ptr) = res
+    dmsgs = jnp.take(g, t_r_b, axis=0) * t_w_b[:, None].astype(g.dtype)
+    if use_pallas:
+        from graph_odenet_tpu.ops.pallas_spmm import _is_tpu, _segment_reduce
+
+        dchunk = _segment_reduce(
+            dmsgs, t_rel2d, t_blk_ptr, t_blk_ptr.shape[-1] - 1,
+            interpret=not _is_tpu(),
+        )[:block_size]
+    else:
+        dchunk = segment_sum(
+            dmsgs, t_s_b, num_segments=block_size, sorted_ids=False
+        )
+    zeros = tuple(jnp.zeros_like(a) for a in res)
+    return (dchunk,) + zeros
+
+
+_bucket_spmm.defvjp(_bucket_spmm_fwd, _bucket_spmm_bwd)
+
+
 def _local_accumulate(senders_rel_b, receivers_rel_b, weight_b, chunk, block_size):
     """One bucket's contribution: gather from a single block's feature chunk
     and segment-sum into the local output rows."""
@@ -155,26 +211,22 @@ def spmm_sharded(
                     "partition with the default edge_multiple"
                 )
 
-        def kernel(senders_rel, receivers_rel, weight, rel2d, blk_ptr, x_shard):
+        def kernel(senders_rel, receivers_rel, weight, rel2d, blk_ptr,
+                   t_senders_rel, t_receivers_rel, t_weight, t_rel2d,
+                   t_blk_ptr, x_shard):
             me = jax.lax.axis_index(axis)
             perm_src = [((i + 1) % n_parts, i) for i in range(n_parts)]
 
             def local(src_block, chunk):
-                s_b = jnp.take(senders_rel[0], src_block, axis=0)
-                w_b = jnp.take(weight[0], src_block, axis=0)
-                msgs = jnp.take(chunk, s_b, axis=0) * w_b[:, None].astype(
-                    chunk.dtype
-                )
-                r_b = jnp.take(receivers_rel[0], src_block, axis=0)
-                if use_pallas:
-                    return bucket_reduce_pallas(
-                        msgs,
-                        jnp.take(rel2d[0], src_block, axis=0),
-                        jnp.take(blk_ptr[0], src_block, axis=0),
-                        r_b,
-                    )[:B]
-                return segment_sum(
-                    msgs, r_b, num_segments=B, sorted_ids=False
+                def take(a):
+                    return jnp.take(a[0], src_block, axis=0)
+
+                return _bucket_spmm(
+                    use_pallas, B, chunk,
+                    take(senders_rel), take(receivers_rel), take(weight),
+                    take(rel2d), take(blk_ptr),
+                    take(t_senders_rel), take(t_receivers_rel),
+                    take(t_weight), take(t_rel2d), take(t_blk_ptr),
                 )
 
             def body(k, carry):
@@ -212,10 +264,13 @@ def spmm_sharded(
     return jax.shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(edge_spec, edge_spec, edge_spec, tile_spec, ptr_spec, x_spec),
+        in_specs=(edge_spec, edge_spec, edge_spec, tile_spec, ptr_spec,
+                  edge_spec, edge_spec, edge_spec, tile_spec, ptr_spec,
+                  x_spec),
         out_specs=x_spec,
         # pallas_call's out ShapeDtypeStruct carries no vma annotation, so
         # the varying-manual-axes check can't see through it.
         check_vma=(not use_pallas) if check_vma is None else check_vma,
     )(pg.senders_rel, pg.receivers_rel, pg.weight, pg.tile_rel,
-      pg.tile_blk_ptr, x)
+      pg.tile_blk_ptr, pg.t_senders_rel, pg.t_receivers_rel, pg.t_weight,
+      pg.t_tile_rel, pg.t_tile_blk_ptr, x)
