@@ -135,6 +135,68 @@ def _bucket_spmm_bwd(use_pallas, block_size, res, g):
 _bucket_spmm.defvjp(_bucket_spmm_fwd, _bucket_spmm_bwd)
 
 
+def _seg_reduce(msgs, rel2d, blk_ptr, block_size):
+    from graph_odenet_tpu.ops.pallas_spmm import _is_tpu, _segment_reduce
+
+    return _segment_reduce(
+        msgs, rel2d, blk_ptr, blk_ptr.shape[-1] - 1, interpret=not _is_tpu()
+    )[:block_size]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _bucket_spmm_weighted(block_size, feat, chunk, pv_h, s_b, r_b, rel2d,
+                          blk_ptr, t_r_b, t_rel2d, t_blk_ptr, t_perm):
+    """Attention-weighted bucket reduction on the Pallas CSR-tile kernel:
+    ``out[r] = Σ_{e: r_e=r} pv_h[e, h]·chunk[s_e, h·F+f]`` for every head
+    lane group, differentiable in both ``chunk`` (the ring value chunk) and
+    ``pv_h`` (the per-edge softmax numerators, [E_b, H]).
+
+    Two things the hand-written vjp buys over autodiff (VERDICT r4 #2):
+
+      * ``dchunk`` reduces through the bucket's CSC view with the same
+        sorted MXU kernel — no XLA scatter-add (``t_perm`` carries the
+        traced numerators into CSC edge order).
+      * the residual keeps the numerators at [E_b, H] and recomputes the
+        H·F-lane broadcast in the backward, so 18 attention layers of a
+        GAT-ODE step save H-lane tables, not H·F — this alone removes the
+        ~20 GB of saved ``jnp.repeat`` lanes that OOM'd the full-scale
+        config-4 GAT-ODE run.
+    """
+    msgs = jnp.take(chunk, s_b, axis=0) * jnp.repeat(pv_h, feat, axis=1)
+    return _seg_reduce(msgs, rel2d, blk_ptr, block_size)
+
+
+def _bucket_spmm_weighted_fwd(block_size, feat, chunk, pv_h, s_b, r_b, rel2d,
+                              blk_ptr, t_r_b, t_rel2d, t_blk_ptr, t_perm):
+    out = _bucket_spmm_weighted(
+        block_size, feat, chunk, pv_h, s_b, r_b, rel2d, blk_ptr,
+        t_r_b, t_rel2d, t_blk_ptr, t_perm,
+    )
+    return out, (chunk, pv_h, s_b, r_b, rel2d, blk_ptr,
+                 t_r_b, t_rel2d, t_blk_ptr, t_perm)
+
+
+def _bucket_spmm_weighted_bwd(block_size, feat, res, g):
+    (chunk, pv_h, s_b, r_b, rel2d, blk_ptr,
+     t_r_b, t_rel2d, t_blk_ptr, t_perm) = res
+    heads = pv_h.shape[-1]
+    # dchunk[s] = Σ_{e: s_e=s} pv[e]·g[r_e] — gather g and the numerators
+    # into CSC order, reduce into sender tiles (same kernel as forward).
+    gm = jnp.take(g, t_r_b, axis=0) * jnp.repeat(
+        jnp.take(pv_h, t_perm, axis=0), feat, axis=1
+    )
+    dchunk = _seg_reduce(gm, t_rel2d, t_blk_ptr, block_size)
+    # dpv[e, h] = Σ_f chunk[s_e, hF+f]·g[r_e, hF+f] — gathers only.
+    prod = jnp.take(chunk, s_b, axis=0) * jnp.take(g, r_b, axis=0)
+    dpv = prod.reshape(prod.shape[0], heads, feat).sum(-1)
+    return (dchunk, dpv) + tuple(
+        jnp.zeros_like(a) for a in res[2:]
+    )
+
+
+_bucket_spmm_weighted.defvjp(_bucket_spmm_weighted_fwd, _bucket_spmm_weighted_bwd)
+
+
 def _local_accumulate(senders_rel_b, receivers_rel_b, weight_b, chunk, block_size):
     """One bucket's contribution: gather from a single block's feature chunk
     and segment-sum into the local output rows."""

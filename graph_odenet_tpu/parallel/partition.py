@@ -62,6 +62,10 @@ class PartitionedGraph:
       t_weight:        f32[P, P, E_b]  0 on padding slots
       t_tile_rel:      i32[P, P, E_b/128, 128]  sender − tile·BLOCK_ROWS
       t_tile_blk_ptr:  i32[P, P, NB+1]          edge span per sender tile
+      t_perm:          i32[P, P, E_b]  CSC position → CSR position, so
+                       traced per-edge data (attention numerators) can be
+                       permuted into CSC order for the transpose reduce;
+                       padding slots map to padding slots.
 
     ``senders_global`` reconstructs global ids on the fly (b·B offset), so
     the all-gather path needs no second copy.
@@ -77,6 +81,7 @@ class PartitionedGraph:
     t_weight: jax.Array
     t_tile_rel: jax.Array
     t_tile_blk_ptr: jax.Array
+    t_perm: jax.Array
     block_size: int = dataclasses.field(metadata=dict(static=True))
     n_parts: int = dataclasses.field(metadata=dict(static=True))
     n_node_pad: int = dataclasses.field(metadata=dict(static=True))
@@ -138,6 +143,9 @@ def partition_by_receiver(
     t_receivers_rel = np.zeros((n_parts, n_parts, e_bucket), dtype=np.int32)
     t_weight = np.zeros((n_parts, n_parts, e_bucket), dtype=np.float32)
     t_blk_ptr = np.zeros((n_parts, n_parts, nb_local + 1), dtype=np.int32)
+    t_perm = np.tile(
+        np.arange(e_bucket, dtype=np.int32), (n_parts, n_parts, 1)
+    )
     for (p, b), (sp, rp, wp) in buckets.items():
         L = len(sp)
         senders_rel[p, b, :L] = sp
@@ -152,6 +160,7 @@ def partition_by_receiver(
         t_weight[p, b, :L] = wp[order]
         t_counts = np.bincount(sp[order] // BLOCK_ROWS, minlength=nb_local)
         np.cumsum(t_counts, out=t_blk_ptr[p, b, 1:])
+        t_perm[p, b, :L] = order
 
     def _as_tiles(rel):
         rel = rel.astype(np.int32)
@@ -174,6 +183,7 @@ def partition_by_receiver(
         t_weight=jnp.asarray(t_weight),
         t_tile_rel=jnp.asarray(t_tile_rel),
         t_tile_blk_ptr=jnp.asarray(t_blk_ptr),
+        t_perm=jnp.asarray(t_perm),
         block_size=B,
         n_parts=n_parts,
         n_node_pad=g.n_node_pad,

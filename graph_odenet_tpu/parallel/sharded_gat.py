@@ -19,7 +19,10 @@ This is the same online update the fused single-chip Pallas kernel uses
 over E_CHUNKs (ops/pallas_gat.py), lifted to mesh granularity — the
 communication (ppermute) overlaps the local segment ops, and the whole
 thing is plain differentiable XLA (ppermute transposes to ppermute under
-AD), so no custom VJP is needed.
+AD).  The ``ring_pallas`` tier instead routes each hop through
+``halo._bucket_spmm_weighted`` — a custom VJP whose chunk cotangent
+reduces through the bucket's CSC view on the same MXU kernel (no XLA
+scatter-add) and whose residual keeps the softmax numerators at H lanes.
 
 Padding edges inside each bucket are masked via ``pg.weight == 0`` (the
 partitioner zero-fills padding slots; GAT adjacencies are unnormalised so
@@ -81,9 +84,9 @@ def gat_sharded(
         ``all_gather(s_src)``, one exact local segment softmax over the
         shard's edges, then each ring hop is a *weighted* receiver-sorted
         bucket reduction on the Pallas CSR-tile MXU kernel
-        (``halo.bucket_reduce_pallas`` — differentiable, so the training
-        step keeps kernel speed).  Requires the partitioner's default
-        alignment (``e_bucket % E_CHUNK == 0``).
+        (``halo._bucket_spmm_weighted`` — custom VJP, so the training
+        step keeps kernel speed in the backward too).  Requires the
+        partitioner's default alignment (``e_bucket % E_CHUNK == 0``).
     """
     n_parts = mesh.shape[axis]
     if pg.n_parts != n_parts:
@@ -189,7 +192,7 @@ def _gat_sharded_pallas(
 ):
     """Kernel-speed sharded attention (see ``gat_sharded`` docstring)."""
     from graph_odenet_tpu.ops.pallas_spmm import E_CHUNK
-    from graph_odenet_tpu.parallel.halo import bucket_reduce_pallas
+    from graph_odenet_tpu.parallel.halo import _bucket_spmm_weighted
 
     n_parts = mesh.shape[axis]
     B = pg.block_size
@@ -203,6 +206,7 @@ def _gat_sharded_pallas(
         )
 
     def kernel(senders_rel, receivers_rel, weight, rel2d, blk_ptr,
+               t_receivers_rel, t_rel2d, t_blk_ptr, t_perm,
                ssrc_shard, sdst_shard, wh_shard, seed):
         me = jax.lax.axis_index(axis)
         perm = [((i + 1) % n_parts, i) for i in range(n_parts)]
@@ -239,28 +243,30 @@ def _gat_sharded_pallas(
             )
         else:
             p_v = p
-        # Per-head softmax numerators expanded onto the H·F value lanes.
-        pv_lanes = jnp.repeat(p_v, feat, axis=1)                 # [P·E_b, HF]
-        pv3 = pv_lanes.reshape(n_parts, -1, hf)
+        # Per-head numerators stay [·, H] — the H·F-lane broadcast happens
+        # inside _bucket_spmm_weighted's fwd and is recomputed in its bwd,
+        # so the residual is F× smaller than materialising the lanes here.
+        pv3_h = p_v.reshape(n_parts, -1, heads)
 
         # 3. Ring over value chunks: each hop is ONE weighted Pallas
         # bucket reduction (MXU CSR tiles), DMA of the next chunk in
-        # flight behind it.
+        # flight behind it; the custom vjp reduces the chunk cotangent
+        # through the bucket's CSC view (no XLA scatter-add).
         def body(k, carry):
             out, chunk = carry
             src_block = (me + k) % n_parts
             nxt = jax.lax.ppermute(chunk, axis, perm=perm)
-            s_b = jnp.take(senders_rel[0], src_block, axis=0)
-            msgs = (
-                jnp.take(chunk, s_b, axis=0)
-                * jnp.take(pv3, src_block, axis=0)
-            )                                                    # [E_b, HF]
-            out = out + bucket_reduce_pallas(
-                msgs,
-                jnp.take(rel2d[0], src_block, axis=0),
-                jnp.take(blk_ptr[0], src_block, axis=0),
-                jnp.take(receivers_rel[0], src_block, axis=0),
-            )[:B]
+
+            def take(a):
+                return jnp.take(a[0], src_block, axis=0)
+
+            out = out + _bucket_spmm_weighted(
+                B, feat, chunk, jnp.take(pv3_h, src_block, axis=0),
+                take(senders_rel), take(receivers_rel),
+                take(rel2d), take(blk_ptr),
+                take(t_receivers_rel), take(t_rel2d), take(t_blk_ptr),
+                take(t_perm),
+            )
             return out, nxt
 
         out0 = jax.lax.pcast(
@@ -282,12 +288,14 @@ def _gat_sharded_pallas(
         kernel,
         mesh=mesh,
         in_specs=(edge_spec, edge_spec, edge_spec, tile_spec, ptr_spec,
+                  edge_spec, tile_spec, ptr_spec, edge_spec,
                   row, row, P(axis, None, None), P()),
         out_specs=P(axis, None, None),
         # pallas_call's out ShapeDtypeStruct carries no vma annotation.
         check_vma=False,
     )(pg.senders_rel, pg.receivers_rel, pg.weight, pg.tile_rel,
-      pg.tile_blk_ptr, s_src, s_dst, wh, seed_arr)
+      pg.tile_blk_ptr, pg.t_receivers_rel, pg.t_tile_rel,
+      pg.t_tile_blk_ptr, pg.t_perm, s_src, s_dst, wh, seed_arr)
 
 
 # --- sharded GAT-ODE model (mirror of parallel.sharded_gcn) ---------------
