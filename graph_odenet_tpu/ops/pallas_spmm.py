@@ -43,8 +43,10 @@ import os
 # optimal — measured 11.8 ms fwd at 128 vs 19.9 ms at 1024 (arxiv scale).
 # Env-tunable for A/B benchmarking.
 BLOCK_ROWS = int(os.environ.get("GODE_BLOCK_ROWS", 128))
-E_CHUNK = 1024       # edges per inner DMA chunk; starts stay E_CHUNK-aligned
-                     # because the [E/128, 128] i32 rel rows are (8,128)-tiled
+# Edges per inner DMA chunk; starts stay E_CHUNK-aligned because the
+# [E/128, 128] i32 rel rows are (8,128)-tiled.  Env-tunable for A/B
+# benchmarking the per-chunk issue-overhead floor (VERDICT r4 #8).
+E_CHUNK = int(os.environ.get("GODE_E_CHUNK", 1024))
 
 # MXU precision for the one-hot reduction matmuls — the main speed knob
 # (the kernel is MXU-pass-bound).  The one-hot side is exact in bf16, so

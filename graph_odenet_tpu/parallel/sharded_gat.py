@@ -351,7 +351,7 @@ def _att_layer(pg, mesh, axis, h, w, a_src, a_dst, attn_rate=0.0,
 def gatode_forward(
     params, pg: PartitionedGraph, x, mesh: Mesh, *, steps: int = 4,
     t1: float = 1.0, axis: str = "edge", dropout: float = 0.0, rng=None,
-    mode: str = "ring",
+    mode: str = "ring", remat: bool = False,
 ):
     """log-probs [N_pad, C]; node rows sharded P('edge') throughout.
 
@@ -381,6 +381,12 @@ def gatode_forward(
         return jnp.tanh(
             att(h, params["w_dyn"], params["a_src_dyn"], params["a_dst_dyn"])
         )
+
+    if remat:
+        # Store only the rk4 stage inputs; recompute attention internals in
+        # the backward — at arxiv scale the 16 dyn evals' saved activations
+        # otherwise exceed HBM (29.5 GB needed vs 15.75 at scale 1.0).
+        dyn = jax.checkpoint(dyn)
 
     dt = t1 / steps
 

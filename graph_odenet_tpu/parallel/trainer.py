@@ -56,6 +56,9 @@ class ShardedTrainConfig:
     # every 5 at arxiv scale where a full-graph eval costs ~a train step.
     eval_every: Optional[int] = None
     seed: int = 0
+    # Checkpoint the ODE dynamics (recompute attention internals in the
+    # backward) — required for full-scale arxiv GAT-ODE on one chip.
+    remat: bool = False
     n_parts: Optional[int] = None   # default: all visible devices
     edge_multiple: int = 1024
     ckpt_dir: Optional[str] = None
@@ -106,7 +109,7 @@ def fit_sharded_node_classifier(
         )
         fwd = lambda p, key=None: sharded_gat.gatode_forward(
             p, pg, x, mesh, steps=cfg.steps, t1=cfg.t1,
-            dropout=cfg.dropout, rng=key, mode=cfg.mode,
+            dropout=cfg.dropout, rng=key, mode=cfg.mode, remat=cfg.remat,
         )
     else:
         raise ValueError(f"unknown sharded model {cfg.model!r}")

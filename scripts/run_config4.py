@@ -37,6 +37,7 @@ EPOCHS = int(os.environ.get("GODE_EPOCHS", "30"))
 MODE = os.environ.get("GODE_MODE", "")
 MODEL = os.environ.get("GODE_MODEL", "")
 CALIBRATED = os.environ.get("GODE_CALIBRATED", "0") == "1"
+REMAT = os.environ.get("GODE_REMAT", "0") == "1"
 TAG = os.environ.get("GODE_TAG", "")
 
 
@@ -56,7 +57,7 @@ def main():
         model=model, hidden=cfg.hidden if model == "gcnode" else 64,
         heads=4, steps=cfg.steps, t1=cfg.t1,
         lr=cfg.lr, weight_decay=cfg.weight_decay, epochs=EPOCHS,
-        patience=cfg.patience, mode=MODE or cfg.mode,
+        patience=cfg.patience, mode=MODE or cfg.mode, remat=REMAT,
         dropout=cfg.dropout if model == "gcnode" else 0.6,
         n_parts=min(cfg.n_parts, len(jax.devices())),
     )
