@@ -32,6 +32,12 @@ DEFAULT = [
     "cora-gat",
     "citeseer-gat",
     "pubmed-gat",
+    # round 5: the paper's full model × dataset matrix (residual + ODE
+    # families on every citation set; see scripts/paired_deltas.py)
+    "cora-resgcn", "citeseer-resgcn", "pubmed-resgcn",
+    "cora-resgat", "citeseer-resgat", "pubmed-resgat",
+    "citeseer-gcnode", "pubmed-gcnode",
+    "cora-gatode", "pubmed-gatode",
 ]
 
 OUT = "artifacts/accuracy.jsonl"
