@@ -103,6 +103,42 @@ def test_gatode_forward_mesh_invariance(tiny_arxiv):
     )
 
 
+def test_gatode_forward_remat_parity(tiny_arxiv):
+    """``remat=True`` (checkpoint the ODE dynamics — required for the
+    full-scale arxiv GAT-ODE on one chip) must not change values or
+    parameter gradients."""
+    data = tiny_arxiv
+    g = data.graph
+    f_in, c = data.features.shape[1], data.n_class
+    params = init_gatode_params(jax.random.PRNGKey(1), f_in, 8, 2, c)
+    labels_1h = jax.nn.one_hot(data.labels, c, dtype=jnp.float32)
+    w = (np.asarray(data.labels) >= 0).astype(np.float32)
+    mesh = make_mesh(
+        shape=(8,), axis_names=("edge",), devices=jax.devices()[:8]
+    )
+    pg = partition_by_receiver(g, 8, edge_multiple=8)
+    x, y1h, wt = shard_batch(
+        mesh, "edge", data.features, labels_1h, jnp.asarray(w)
+    )
+
+    outs, grads = [], []
+    for remat in (False, True):
+
+        def loss(p):
+            lp = gatode_forward(p, pg, x, mesh, steps=2, remat=remat)
+            return jnp.sum(-jnp.sum(lp * y1h, axis=-1) * wt) / jnp.sum(wt)
+
+        val, grad = jax.jit(jax.value_and_grad(loss))(params)
+        outs.append(float(val))
+        grads.append(jax.tree_util.tree_map(np.asarray, grad))
+
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7),
+        grads[0], grads[1],
+    )
+
+
 def test_run_config_4_is_a_training_run():
     """VERDICT r1: run_config(4) must return real training results, not a
     microbenchmark."""
